@@ -1,0 +1,205 @@
+"""Device program format: padded, tiered, alphabet-compressed NFA tables.
+
+This is the L1 "compiled program" layer (SURVEY.md SS7.1): the bridge between
+the host compiler (Glushkov NFA) and the device scan kernels. Design:
+
+Tiers (the TPU analog of the reference's u64 / SSE / AVX2 / Roaring state-set
+tiers, Parser.cpp:165-168):
+
+* ``dense128``  -- S <= 128 states, tables padded to 128 (MXU-tile native).
+* ``dense256``  -- S <= 256 states, padded to 256.
+* ``sparse``    -- S > 256: the *follow matrix* is stored block-sparse as
+  (block_row, block_col, 128x128 block) triples. This is the roaring idea
+  translated to TPU: instead of compressing the state *set* (dynamic shapes,
+  which XLA cannot tile), we compress the static transition *structure*,
+  which for repetition-blowup patterns like ``a{1,300}`` is a banded matrix
+  with O(S/128) nonzero blocks instead of O((S/128)^2).
+
+Alphabet compression: bytes with identical symbol-mask rows are merged into
+equivalence classes (classic DFA technique; typical patterns have < 16
+classes). The corpus is translated bytes->classes once, off the hot loop, so
+the per-step symbol mask lookup inside the kernel contracts over ``c_pad``
+(~32) lanes instead of 256.
+
+The per-step transition is one fused matmul (see ops/): with
+``M = [[F], [K * Bc]]`` and ``u = [v | onehot(class)]``,
+
+    acc = u @ M = (v @ F) + K * B[class];     v' = acc > K
+
+because ``v @ F <= S < K`` -- a single MXU op computes both the follow
+expansion and the symbol mask.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .nfa import NFA, build_nfa
+from .parser import BOS, EOS, NSYM
+
+BLOCK = 128  # MXU-native block edge
+
+# Threshold constant for the fused matmul trick: must exceed max possible
+# row sum of v @ F, i.e. the padded state count of the largest dense tier.
+FUSE_K = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class DeviceProgram:
+    """Host-side container of device-ready tables (numpy; engines move them
+    to device and cast to their compute dtype)."""
+
+    nfa: NFA
+    tier: str
+    s_pad: int
+    # alphabet compression
+    n_classes: int
+    c_pad: int
+    class_of_sym: np.ndarray  # [NSYM + 1] int32; index NSYM = dead symbol
+    byte_class: np.ndarray  # [256] int32 lookup for raw corpus bytes
+    # dense tables, 0/1 uint8, padded to (s_pad, c_pad)
+    F: Optional[np.ndarray]  # [s_pad, s_pad]; None on the sparse tier
+    Bc: np.ndarray  # [c_pad, s_pad]
+    accept: np.ndarray  # [s_pad]
+    # block-sparse follow layout (always available; primary on 'sparse')
+    fblocks: np.ndarray = field(default=None)  # [nnz, BLOCK, BLOCK] uint8
+    fblock_rows: np.ndarray = field(default=None)  # [nnz] int32
+    fblock_cols: np.ndarray = field(default=None)  # [nnz] int32
+
+    @property
+    def pattern(self) -> str:
+        return self.nfa.pattern
+
+    @property
+    def n_states(self) -> int:
+        return self.nfa.n_states
+
+    @property
+    def nullable(self) -> bool:
+        return self.nfa.nullable
+
+    @property
+    def bos_class(self) -> int:
+        return int(self.class_of_sym[BOS])
+
+    @property
+    def eos_class(self) -> int:
+        return int(self.class_of_sym[EOS])
+
+    @property
+    def dead_class(self) -> int:
+        return int(self.class_of_sym[NSYM])
+
+    # ------------------------------------------------------------------
+    def classes_of_bytes(self, data: np.ndarray) -> np.ndarray:
+        """Translate raw uint8 corpus bytes to class ids (host-side numpy;
+        engines have a vectorized on-device version)."""
+        return self.byte_class[data.astype(np.int64)]
+
+
+def compile_program(pattern_or_nfa) -> DeviceProgram:
+    nfa = (
+        pattern_or_nfa
+        if isinstance(pattern_or_nfa, NFA)
+        else build_nfa(pattern_or_nfa)
+    )
+    S = nfa.n_states
+
+    # ---- tier selection (reference analog: Parser.cpp:165-168) ----
+    if S <= BLOCK:
+        tier, s_pad = "dense128", BLOCK
+    elif S <= 2 * BLOCK:
+        tier, s_pad = "dense256", 2 * BLOCK
+    else:
+        tier, s_pad = "sparse", _round_up(S, BLOCK)
+
+    # ---- alphabet equivalence classes ----
+    # Symbols 0..NSYM-1 plus a dead symbol (bytes >= 0x80, padding).
+    B = nfa.symtab  # [NSYM, S] uint8
+    rows: Dict[bytes, int] = {}
+    class_of_sym = np.zeros(NSYM + 1, dtype=np.int32)
+    class_rows: List[np.ndarray] = []
+    zero_row = np.zeros(S, dtype=np.uint8)
+
+    def _class_id(row: np.ndarray) -> int:
+        key = row.tobytes()
+        if key not in rows:
+            rows[key] = len(class_rows)
+            class_rows.append(row)
+        return rows[key]
+
+    _class_id(zero_row)  # class 0 = dead (also BOS/EOS when unused)
+    for sym in range(NSYM):
+        class_of_sym[sym] = _class_id(B[sym])
+    class_of_sym[NSYM] = 0
+
+    n_classes = len(class_rows)
+    c_pad = max(32, _round_up(n_classes, 32))
+
+    byte_class = np.zeros(256, dtype=np.int32)
+    byte_class[:128] = class_of_sym[:128]
+    byte_class[128:] = 0  # dead
+
+    # ---- padded dense tables ----
+    Bc = np.zeros((c_pad, s_pad), dtype=np.uint8)
+    for k, row in enumerate(class_rows):
+        Bc[k, :S] = row
+    accept = np.zeros(s_pad, dtype=np.uint8)
+    accept[:S] = nfa.accept_vec
+
+    F = None
+    fblocks = fb_rows = fb_cols = None
+    if tier != "sparse":
+        F = np.zeros((s_pad, s_pad), dtype=np.uint8)
+        F[:S, :S] = nfa.follow_matrix
+    else:
+        fblocks, fb_rows, fb_cols = _block_sparse_follow(nfa, s_pad)
+
+    return DeviceProgram(
+        nfa=nfa,
+        tier=tier,
+        s_pad=s_pad,
+        n_classes=n_classes,
+        c_pad=c_pad,
+        class_of_sym=class_of_sym,
+        byte_class=byte_class,
+        F=F,
+        Bc=Bc,
+        accept=accept,
+        fblocks=fblocks,
+        fblock_rows=fb_rows,
+        fblock_cols=fb_cols,
+    )
+
+
+def _block_sparse_follow(
+    nfa: NFA, s_pad: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build the block-sparse follow layout without materializing the dense
+    S x S matrix (S can be thousands; density is what broke the reference's
+    roaring tier conceptually -- SS2.12.1)."""
+    nb = s_pad // BLOCK
+    blocks: Dict[Tuple[int, int], np.ndarray] = {}
+    for i, fs in enumerate(nfa.follow_sets):
+        bi, ri = divmod(i, BLOCK)
+        for j in fs:
+            bj, rj = divmod(j, BLOCK)
+            blk = blocks.get((bi, bj))
+            if blk is None:
+                blk = blocks[(bi, bj)] = np.zeros((BLOCK, BLOCK), dtype=np.uint8)
+            blk[ri, rj] = 1
+    if not blocks:
+        # degenerate (e.g. pattern ''); keep one zero block for static shapes
+        blocks[(0, 0)] = np.zeros((BLOCK, BLOCK), dtype=np.uint8)
+    keys = sorted(blocks.keys())
+    fblocks = np.stack([blocks[k] for k in keys])
+    rows = np.array([k[0] for k in keys], dtype=np.int32)
+    cols = np.array([k[1] for k in keys], dtype=np.int32)
+    assert rows.max() < nb and cols.max() < nb
+    return fblocks, rows, cols
