@@ -16,7 +16,9 @@ See SURVEY.md for the structural analysis of the reference and BASELINE.md
 for performance targets.
 """
 
+from .api import Match, Pattern, compile  # noqa: F401
 from .compiler.nfa import NFA, build_nfa  # noqa: F401
+from .compiler.program import DeviceProgram, compile_program  # noqa: F401
 from .compiler.parser import RegexSyntaxError, parse  # noqa: F401
 from .oracle.engine import OracleEngine  # noqa: F401
 

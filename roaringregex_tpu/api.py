@@ -1,0 +1,222 @@
+"""High-level matching API: the ``RRegex`` / ``get_acceptance_iter`` analog.
+
+The reference exposes compile-once / match-many via ``RRegex`` +
+type-erased acceptance iterators (regex.h:212-228, 150-165). Here the same
+shape is ``compile()`` -> :class:`Pattern` with:
+
+* single-string convenience (``fullmatch``, ``search``, ``match``,
+  ``finditer``, ``findall``) -- correct for any input, routed through the
+  batched device engine;
+* batched production entry points (``fullmatch_batch``, ``search_batch``,
+  ``count_batch``, ``finditer_batch``, ``grep``) -- the TPU-native shape:
+  many records scanned in parallel lanes.
+
+Span semantics are the normative lazy policy defined by the oracle
+(leftmost start, shortest end, non-overlapping, empty matches advance by
+one). Span extraction = one seeded forward scan (ends), one reverse scan
+(starts), then per-match anchored scans batched across records in rounds.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .compiler.nfa import build_nfa
+from .compiler.program import DeviceProgram, compile_program
+from .engine import ScanEngine
+from .oracle.engine import OracleEngine
+
+TextLike = Union[str, bytes]
+
+
+@dataclass(frozen=True)
+class Match:
+    """A match span [start, end) -- the reference's ``Match`` (regex.h:100)."""
+
+    start: int
+    end: int
+    text: bytes
+
+    def group(self) -> bytes:
+        return self.text[self.start : self.end]
+
+    def span(self) -> Tuple[int, int]:
+        return (self.start, self.end)
+
+    def __repr__(self):  # pragma: no cover
+        return f"<Match span=({self.start},{self.end}) group={self.group()!r}>"
+
+
+def _as_bytes(t: TextLike) -> bytes:
+    return t.encode("ascii") if isinstance(t, str) else bytes(t)
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    x = lo
+    while x < n:
+        x *= 2
+    return x
+
+
+class Pattern:
+    """A compiled pattern bound to a scan engine."""
+
+    def __init__(self, pattern: str, backend: Optional[str] = None):
+        self.program: DeviceProgram = compile_program(pattern)
+        self.engine = ScanEngine(self.program, backend=backend)
+        self.oracle = OracleEngine(self.program.nfa)
+
+    # -- introspection ----------------------------------------------------
+    @property
+    def pattern(self) -> str:
+        return self.program.pattern
+
+    @property
+    def n_states(self) -> int:
+        return self.program.n_states
+
+    @property
+    def tier(self) -> str:
+        return self.program.tier
+
+    def dump(self) -> str:
+        """NFA dump (the reference's NFA::print analog, NFA.cc:14-41)."""
+        return self.program.nfa.dump()
+
+    # -- batching helpers --------------------------------------------------
+    def _pack(self, texts: Sequence[TextLike]):
+        bs = [_as_bytes(t) for t in texts]
+        B = len(bs)
+        maxlen = max((len(b) for b in bs), default=0)
+        Bp, Lp = _pow2(B), _pow2(max(maxlen, 1), lo=16)
+        data = np.zeros((Bp, Lp), dtype=np.uint8)
+        lengths = np.zeros(Bp, dtype=np.int32)
+        for i, b in enumerate(bs):
+            data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lengths[i] = len(b)
+        cls = self.engine.encode(data, lengths)
+        return cls, lengths, B, maxlen
+
+    # -- batched entry points ----------------------------------------------
+    def fullmatch_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
+        cls, lengths, B, _ = self._pack(texts)
+        return self.engine.fullmatch_flags(cls, lengths)[:B]
+
+    def search_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
+        cls, lengths, B, _ = self._pack(texts)
+        _, _, anym = self.engine.match_stats(cls, lengths, seeded=True)
+        return np.asarray(anym)[:B]
+
+    def count_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
+        """Number of distinct match-end positions per record."""
+        cls, lengths, B, _ = self._pack(texts)
+        cnt, _, _ = self.engine.match_stats(cls, lengths, seeded=True)
+        return np.asarray(cnt)[:B]
+
+    def ends_batch(self, texts: Sequence[TextLike]) -> List[List[int]]:
+        cls, lengths, B, maxlen = self._pack(texts)
+        bm = self.engine.ends_bitmap(cls, lengths, maxlen)
+        return [
+            [int(p) for p in np.nonzero(bm[i])[0] if p <= lengths[i]]
+            for i in range(B)
+        ]
+
+    def starts_batch(self, texts: Sequence[TextLike]) -> List[List[int]]:
+        cls, lengths, B, maxlen = self._pack(texts)
+        bm = self.engine.starts_bitmap(cls, lengths, maxlen)
+        return [
+            [int(p) for p in np.nonzero(bm[i])[0] if p <= lengths[i]]
+            for i in range(B)
+        ]
+
+    def finditer_batch(
+        self, texts: Sequence[TextLike]
+    ) -> List[List[Tuple[int, int]]]:
+        """Lazy non-overlapping spans for every record.
+
+        One reverse scan finds all candidate starts; then rounds of batched
+        anchored scans resolve each record's next span (all records advance
+        in lockstep, so device work is O(max_matches * T) regardless of B).
+        """
+        cls, lengths, B, maxlen = self._pack(texts)
+        bm = self.engine.starts_bitmap(cls, lengths, maxlen)  # [Bp, maxlen+1]
+        nullable = self.program.nullable
+        Bp = bm.shape[0]
+        spans: List[List[Tuple[int, int]]] = [[] for _ in range(Bp)]
+        pos = np.zeros(Bp, dtype=np.int64)
+        active = np.array(
+            [i < B for i in range(Bp)]
+        )  # padding records inactive
+        while True:
+            starts = np.full(Bp, -1, dtype=np.int32)
+            for i in range(Bp):
+                if not active[i]:
+                    continue
+                cand = np.nonzero(bm[i, pos[i] : lengths[i] + 1])[0]
+                if cand.size:
+                    starts[i] = pos[i] + cand[0]
+                else:
+                    active[i] = False
+            if not active.any():
+                break
+            if nullable:
+                ends = starts  # lazy end of a nullable pattern is the start
+            else:
+                ends = np.asarray(
+                    self.engine.first_end_from(cls, lengths, starts)
+                )
+            for i in range(Bp):
+                if starts[i] < 0 or not active[i]:
+                    continue
+                s, e = int(starts[i]), int(ends[i])
+                assert e >= s, (self.pattern, i, s, e)
+                spans[i].append((s, e))
+                pos[i] = e if e > s else s + 1
+                if pos[i] > lengths[i]:
+                    active[i] = False
+        return spans[:B]
+
+    def grep(self, lines: Sequence[TextLike]) -> List[int]:
+        """Indices of records containing a match (the grep-style entry)."""
+        hits = self.search_batch(lines)
+        return [i for i, h in enumerate(hits) if h]
+
+    # -- single-string convenience ------------------------------------------
+    def fullmatch(self, text: TextLike) -> Optional[Match]:
+        b = _as_bytes(text)
+        if bool(self.fullmatch_batch([b])[0]):
+            return Match(0, len(b), b)
+        return None
+
+    def search(self, text: TextLike) -> Optional[Match]:
+        b = _as_bytes(text)
+        spans = self.finditer_batch([b])[0]
+        return Match(*spans[0], b) if spans else None
+
+    def match(self, text: TextLike) -> Optional[Match]:
+        """Anchored-at-0 lazy prefix match."""
+        b = _as_bytes(text)
+        if self.program.nullable:
+            return Match(0, 0, b)
+        cls, lengths, _, _ = self._pack([b])
+        starts = np.full(cls.shape[0], -1, np.int32)
+        starts[0] = 0
+        e = int(np.asarray(self.engine.first_end_from(cls, lengths, starts))[0])
+        return Match(0, e, b) if e >= 0 else None
+
+    def finditer(self, text: TextLike) -> Iterator[Match]:
+        b = _as_bytes(text)
+        for s, e in self.finditer_batch([b])[0]:
+            yield Match(s, e, b)
+
+    def findall(self, text: TextLike) -> List[bytes]:
+        return [m.group() for m in self.finditer(text)]
+
+
+@functools.lru_cache(maxsize=256)
+def compile(pattern: str, backend: Optional[str] = None) -> Pattern:  # noqa: A001
+    """Compile (with caching) a POSIX-ERE pattern."""
+    return Pattern(pattern, backend=backend)

@@ -209,6 +209,44 @@ def match_stats(
     return cnt, first, cnt > 0
 
 
+@jax.jit
+def first_end_from(
+    tables: Tables,
+    cls: jnp.ndarray,  # [B, T] int32 stream
+    lengths: jnp.ndarray,  # [B]
+    starts: jnp.ndarray,  # [B] int32 match-start position per record; -1 = inactive
+) -> jnp.ndarray:
+    """Anchored scan from a per-record start position: the smallest end e
+    such that text[s:e] matches, else -1. (Nullable patterns are handled by
+    the caller -- their lazy end is always s.)
+
+    Seeding rule: start s corresponds to seeding the initial state into the
+    input of the step consuming stream column s+1 (and, for s=0, also the
+    BOS column 0 -- position 0 exists on both sides of BOS).
+    """
+    B, T = cls.shape
+    s_pad = tables["accept"].shape[0]
+    v0 = jnp.zeros((B, s_pad), DTYPE)
+    first0 = jnp.full(B, -1, jnp.int32)
+
+    def body(carry, xs):
+        v, first = carry
+        cls_t, t = xs
+        seed = (starts == t - 1) | ((starts == 0) & (t <= 1))
+        v = v.at[:, 0].set(jnp.where(seed & (starts >= 0), 1, v[:, 0]).astype(DTYPE))
+        v2 = _step(tables, v, cls_t)
+        flag = jnp.dot(v2, tables["accept"], preferred_element_type=jnp.float32) > 0
+        e = jnp.clip(t, 0, lengths)
+        # only accept ends at/after the start (stale flags impossible since
+        # v was empty before the seed, but guard anyway)
+        ok = flag & (e >= starts) & (first < 0)
+        first = jnp.where(ok, e, first)
+        return (v2, first), None
+
+    (_, first), _ = jax.lax.scan(body, (v0, first0), (cls.T, jnp.arange(T)))
+    return first
+
+
 # ---------------------------------------------------------------------------
 # Reverse scan (match starts)
 # ---------------------------------------------------------------------------
