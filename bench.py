@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness: scan throughput on the BASELINE.json configs.
+
+Prints ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": "bytes/sec", "vs_baseline": N}
+
+``vs_baseline`` is measured against the reference engine's strongest
+measured number (BASELINE.md: `(cat|dog)*` over 10 MB, u64 tier, -O3 →
+28 MB/s on one Xeon core; the reference publishes nothing itself).
+
+Headline metric = config 1: literal+union pattern over a 10 MB ASCII
+corpus, word-mask tier, batched many-records scan (count + any + first_end
+per record, fully fused on device). Extended per-config results go to
+stderr; the single stdout line stays machine-readable for the driver.
+
+Usage:
+    python bench.py             # full 10 MB corpus (TPU)
+    python bench.py --quick     # 1 MB corpus (CPU smoke)
+    python bench.py --all       # run every config, headline = config 1
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BYTES_PER_SEC = 28e6  # BASELINE.md: (cat|dog)* 10MB -O3 reference
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_corpus(total_bytes: int, rec_len: int, seed: int = 0):
+    """Synthetic ASCII corpus: lowercase words with cat/dog sprinkled in."""
+    rng = np.random.default_rng(seed)
+    B = max(1, total_bytes // rec_len)
+    data = rng.integers(ord("a"), ord("z") + 1, size=(B, rec_len), dtype=np.uint8)
+    # sprinkle literals so matches exist
+    for word in (b"cat", b"dog"):
+        w = np.frombuffer(word, dtype=np.uint8)
+        rows = rng.integers(0, B, size=max(1, B // 8))
+        cols = rng.integers(0, rec_len - 3, size=rows.size)
+        for r, c in zip(rows, cols):
+            data[r, c : c + 3] = w
+    lengths = np.full(B, rec_len, dtype=np.int32)
+    return data, lengths
+
+
+def bench_scan(pattern: str, data, lengths, *, iters: int = 6, pipeline: int = 16):
+    """Time the fused batched scan (encode + match_stats) end to end.
+
+    Returns (bytes_per_sec, total_matches). Data is placed on device
+    before timing; timing brackets block_until_ready.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from roaringregex_tpu.compiler.program import compile_program
+    from roaringregex_tpu.engine import ScanEngine
+
+    prog = compile_program(pattern)
+    if jax.default_backend() != "tpu":
+        pipeline = 2
+    engine = ScanEngine(prog)
+    # pad batch to a multiple of the packing group
+    G = max(1, prog.G)
+    B = data.shape[0]
+    Bp = ((B + G - 1) // G) * G
+    if Bp != B:
+        data = np.concatenate([data, np.zeros((Bp - B, data.shape[1]), np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(Bp - B, np.int32)])
+    d = jax.device_put(jnp.asarray(data))
+    l = jax.device_put(jnp.asarray(lengths))
+
+    def run(d, l):
+        cnt, first, anym = engine.match_stats(d, l, seeded=True)
+        return jnp.sum(cnt), jnp.sum(anym.astype(jnp.int32))
+
+    run = jax.jit(run)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    total, nrec = jax.block_until_ready(run(d, l))
+    log(f"  [{pattern!r} tier={prog.tier} S={prog.n_states} G={prog.G} "
+        f"backend={engine.backend}] compile+first run: "
+        f"{time.perf_counter()-t0:.1f}s, "
+        f"matches={int(total)} matched_records={int(nrec)}")
+
+    # sustained throughput: K overlapping scans (async dispatch pipelines,
+    # so per-call host/tunnel latency is hidden, as in production streaming)
+    nbytes = int(lengths.sum())
+    best = 0.0
+    for _ in range(max(1, iters // 2)):
+        t0 = time.perf_counter()
+        outs = [run(d, l) for _ in range(pipeline)]
+        jax.block_until_ready(outs)
+        t = (time.perf_counter() - t0) / pipeline
+        best = max(best, nbytes / t)
+    return best, int(total)
+
+
+CONFIGS = {
+    1: dict(pattern="cat|dog", rec_len=1024, name="literal+union 64-tier"),
+    2: dict(pattern="[a-z]+\\.log$", rec_len=256, name="brackets+anchor log lines"),
+    3: dict(pattern="(ab)*c+d?", rec_len=1024, name="kleene-heavy 256-tier"),
+    4: dict(pattern="a{1,300}", rec_len=1024, name="bounded-rep sparse tier"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="1MB corpus, CPU ok")
+    ap.add_argument("--all", action="store_true", help="run all configs")
+    ap.add_argument("--config", type=int, default=1)
+    ap.add_argument("--bytes", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    total_bytes = args.bytes or (1_000_000 if args.quick else 10_000_000)
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    results = {}
+    cfgs = sorted(CONFIGS) if args.all else [args.config]
+    for ci in cfgs:
+        cfg = CONFIGS[ci]
+        data, lengths = make_corpus(total_bytes, cfg["rec_len"])
+        bps, total = bench_scan(cfg["pattern"], data, lengths)
+        results[ci] = bps
+        log(f"config {ci} ({cfg['name']}): {bps/1e9:.3f} GB/s")
+
+    headline = results[cfgs[0]] if 1 not in results else results[1]
+    print(
+        json.dumps(
+            {
+                "metric": "scan_throughput_config1_literal_union",
+                "value": round(headline, 1),
+                "unit": "bytes/sec",
+                "vs_baseline": round(headline / BASELINE_BYTES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,42 +91,43 @@ class Pattern:
         bs = [_as_bytes(t) for t in texts]
         B = len(bs)
         maxlen = max((len(b) for b in bs), default=0)
-        Bp, Lp = _pow2(B), _pow2(max(maxlen, 1), lo=16)
+        # pad B so packed engines can group G records per row
+        Bp = _pow2(B, lo=max(8, self.program.G))
+        Lp = _pow2(max(maxlen, 1), lo=16)
         data = np.zeros((Bp, Lp), dtype=np.uint8)
         lengths = np.zeros(Bp, dtype=np.int32)
         for i, b in enumerate(bs):
             data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
             lengths[i] = len(b)
-        cls = self.engine.encode(data, lengths)
-        return cls, lengths, B, maxlen
+        return data, lengths, B, maxlen
 
     # -- batched entry points ----------------------------------------------
     def fullmatch_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
-        cls, lengths, B, _ = self._pack(texts)
-        return self.engine.fullmatch_flags(cls, lengths)[:B]
+        data, lengths, B, _ = self._pack(texts)
+        return self.engine.fullmatch_flags(data, lengths)[:B]
 
     def search_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
-        cls, lengths, B, _ = self._pack(texts)
-        _, _, anym = self.engine.match_stats(cls, lengths, seeded=True)
+        data, lengths, B, _ = self._pack(texts)
+        _, _, anym = self.engine.match_stats(data, lengths, seeded=True)
         return np.asarray(anym)[:B]
 
     def count_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
         """Number of distinct match-end positions per record."""
-        cls, lengths, B, _ = self._pack(texts)
-        cnt, _, _ = self.engine.match_stats(cls, lengths, seeded=True)
+        data, lengths, B, _ = self._pack(texts)
+        cnt, _, _ = self.engine.match_stats(data, lengths, seeded=True)
         return np.asarray(cnt)[:B]
 
     def ends_batch(self, texts: Sequence[TextLike]) -> List[List[int]]:
-        cls, lengths, B, maxlen = self._pack(texts)
-        bm = self.engine.ends_bitmap(cls, lengths, maxlen)
+        data, lengths, B, maxlen = self._pack(texts)
+        bm = self.engine.ends_bitmap(data, lengths, maxlen)
         return [
             [int(p) for p in np.nonzero(bm[i])[0] if p <= lengths[i]]
             for i in range(B)
         ]
 
     def starts_batch(self, texts: Sequence[TextLike]) -> List[List[int]]:
-        cls, lengths, B, maxlen = self._pack(texts)
-        bm = self.engine.starts_bitmap(cls, lengths, maxlen)
+        data, lengths, B, maxlen = self._pack(texts)
+        bm = self.engine.starts_bitmap(data, lengths, maxlen)
         return [
             [int(p) for p in np.nonzero(bm[i])[0] if p <= lengths[i]]
             for i in range(B)
@@ -141,8 +142,8 @@ class Pattern:
         anchored scans resolve each record's next span (all records advance
         in lockstep, so device work is O(max_matches * T) regardless of B).
         """
-        cls, lengths, B, maxlen = self._pack(texts)
-        bm = self.engine.starts_bitmap(cls, lengths, maxlen)  # [Bp, maxlen+1]
+        data, lengths, B, maxlen = self._pack(texts)
+        bm = self.engine.starts_bitmap(data, lengths, maxlen)  # [Bp, maxlen+1]
         nullable = self.program.nullable
         Bp = bm.shape[0]
         spans: List[List[Tuple[int, int]]] = [[] for _ in range(Bp)]
@@ -166,7 +167,7 @@ class Pattern:
                 ends = starts  # lazy end of a nullable pattern is the start
             else:
                 ends = np.asarray(
-                    self.engine.first_end_from(cls, lengths, starts)
+                    self.engine.first_end_from(data, lengths, starts)
                 )
             for i in range(Bp):
                 if starts[i] < 0 or not active[i]:
@@ -201,10 +202,10 @@ class Pattern:
         b = _as_bytes(text)
         if self.program.nullable:
             return Match(0, 0, b)
-        cls, lengths, _, _ = self._pack([b])
-        starts = np.full(cls.shape[0], -1, np.int32)
+        data, lengths, _, _ = self._pack([b])
+        starts = np.full(data.shape[0], -1, np.int32)
         starts[0] = 0
-        e = int(np.asarray(self.engine.first_end_from(cls, lengths, starts))[0])
+        e = int(np.asarray(self.engine.first_end_from(data, lengths, starts))[0])
         return Match(0, e, b) if e >= 0 else None
 
     def finditer(self, text: TextLike) -> Iterator[Match]:

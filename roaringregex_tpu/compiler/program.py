@@ -41,6 +41,15 @@ from .parser import BOS, EOS, NSYM
 
 BLOCK = 128  # MXU-native block edge
 
+# Lane-packing tile sizes: a record's NFA states occupy ``s_tile`` lanes and
+# G = lanes // s_tile records share one 128-lane (256 for dense256) MXU row.
+# This is the TPU analog of the reference's *small* tiers (u64 BitSet<1> for
+# <=64 states, Parser.cpp:165-168): instead of shrinking the register, we
+# pack multiple records' state masks into one vector register row so the
+# per-byte follow matmul costs 2*128*128/G FLOPs per corpus byte instead of
+# 2*128*128.
+TILES = (8, 16, 32, 64, 128, 256)
+
 # Threshold constant for the fused matmul trick: must exceed max possible
 # row sum of v @ F, i.e. the padded state count of the largest dense tier.
 FUSE_K = 1024
@@ -71,6 +80,70 @@ class DeviceProgram:
     fblocks: np.ndarray = field(default=None)  # [nnz, BLOCK, BLOCK] uint8
     fblock_rows: np.ndarray = field(default=None)  # [nnz] int32
     fblock_cols: np.ndarray = field(default=None)  # [nnz] int32
+    # ---- lane-packed layout (dense tiers only) ----
+    s_tile: int = 0  # states per record tile (8..256)
+    lanes: int = 0  # row width: 128, or 256 on dense256
+    G: int = 0  # records packed per row = lanes // s_tile
+
+    # ------------------------------------------------------------------
+    # Packed-tier derived tables (built lazily; None on the sparse tier)
+    # ------------------------------------------------------------------
+    @property
+    def F_bd(self) -> Optional[np.ndarray]:
+        """[lanes, lanes] uint8 block-diagonal follow matrix: G copies of
+        the s_tile x s_tile tile, so one MXU matmul advances G records."""
+        if self.tier == "sparse":
+            return None
+        if getattr(self, "_F_bd", None) is None:
+            Ft = self.F[: self.s_tile, : self.s_tile]
+            bd = np.zeros((self.lanes, self.lanes), dtype=np.uint8)
+            for g in range(self.G):
+                o = g * self.s_tile
+                bd[o : o + self.s_tile, o : o + self.s_tile] = Ft
+            self._F_bd = bd
+        return self._F_bd
+
+    @property
+    def Bc_words(self) -> Optional[np.ndarray]:
+        """[c_pad, W_tile] uint32: per-class symbol mask of one tile,
+        bit-packed in lane order (W_tile = ceil(s_tile/32), min 1)."""
+        if self.tier == "sparse":
+            return None
+        if getattr(self, "_Bc_words", None) is None:
+            wt = max(1, self.s_tile // 32)
+            out = np.zeros((self.c_pad, wt), dtype=np.uint64)
+            Bt = self.Bc[:, : self.s_tile]
+            for k in range(self.c_pad):
+                for s in np.nonzero(Bt[k])[0]:
+                    out[k, s // 32] |= np.uint64(1) << np.uint64(s % 32)
+            self._Bc_words = out.astype(np.uint32)
+        return self._Bc_words
+
+    @property
+    def accept_groups(self) -> Optional[np.ndarray]:
+        """[lanes, G] uint8: A[l, g] = 1 iff lane l is an accepting state of
+        the record in group g (so per-record flags = (v @ A) > 0)."""
+        if self.tier == "sparse":
+            return None
+        if getattr(self, "_A", None) is None:
+            A = np.zeros((self.lanes, self.G), dtype=np.uint8)
+            at = self.accept[: self.s_tile]
+            for g in range(self.G):
+                o = g * self.s_tile
+                A[o : o + self.s_tile, g] = at
+            self._A = A
+        return self._A
+
+    @property
+    def seed_row(self) -> Optional[np.ndarray]:
+        """[lanes] uint8: 1 at each record's initial-state lane (g*s_tile)."""
+        if self.tier == "sparse":
+            return None
+        if getattr(self, "_seed", None) is None:
+            s = np.zeros(self.lanes, dtype=np.uint8)
+            s[:: self.s_tile] = 1
+            self._seed = s
+        return self._seed
 
     @property
     def pattern(self) -> str:
@@ -96,6 +169,34 @@ class DeviceProgram:
     def dead_class(self) -> int:
         return int(self.class_of_sym[NSYM])
 
+    @property
+    def byte_runs(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Maximal constant runs of the byte->class LUT with nonzero class:
+        (lo[R], hi[R], cls[R]) uint8/int32. Class 0 is the dead/zero-mask
+        class, so bytes outside every run default to 0 — this turns the
+        byte->class translation into R range-compares instead of a 256-entry
+        gather (TPU gathers are ~100x slower than vector compares)."""
+        if getattr(self, "_runs", None) is None:
+            bc = self.byte_class
+            lo, hi, cl = [], [], []
+            r = 0
+            while r < 256:
+                c = bc[r]
+                e = r
+                while e + 1 < 256 and bc[e + 1] == c:
+                    e += 1
+                if c != 0:
+                    lo.append(r)
+                    hi.append(e)
+                    cl.append(int(c))
+                r = e + 1
+            self._runs = (
+                np.asarray(lo, np.int32),
+                np.asarray(hi, np.int32),
+                np.asarray(cl, np.int32),
+            )
+        return self._runs
+
     # ------------------------------------------------------------------
     def classes_of_bytes(self, data: np.ndarray) -> np.ndarray:
         """Translate raw uint8 corpus bytes to class ids (host-side numpy;
@@ -118,6 +219,14 @@ def compile_program(pattern_or_nfa) -> DeviceProgram:
         tier, s_pad = "dense256", 2 * BLOCK
     else:
         tier, s_pad = "sparse", _round_up(S, BLOCK)
+
+    # lane-packing tile: smallest tile holding all states
+    if tier == "sparse":
+        s_tile, lanes, G = s_pad, s_pad, 1
+    else:
+        s_tile = next(t for t in TILES if S <= t)
+        lanes = max(s_pad, BLOCK)
+        G = lanes // s_tile
 
     # ---- alphabet equivalence classes ----
     # Symbols 0..NSYM-1 plus a dead symbol (bytes >= 0x80, padding).
@@ -175,6 +284,9 @@ def compile_program(pattern_or_nfa) -> DeviceProgram:
         fblocks=fblocks,
         fblock_rows=fb_rows,
         fblock_cols=fb_cols,
+        s_tile=s_tile,
+        lanes=lanes,
+        G=G,
     )
 
 

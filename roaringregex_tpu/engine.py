@@ -2,9 +2,19 @@
 
 Backends:
 
-* ``xla``    -- pure-XLA lax.scan engine (ops/scan_xla.py): runs anywhere.
-* ``pallas`` -- hand-written Pallas TPU kernels (ops/scan_pallas.py): the
-  production path on TPU; falls back to interpret mode off-TPU.
+* ``xla``    -- unpacked fused-matmul lax.scan engine (ops/scan_xla.py):
+  runs anywhere, any tier; the portable reference implementation.
+* ``packed`` -- lane-packed engine (ops/scan_packed.py): G records per MXU
+  row + precomputed bit-packed mask streams; dense tiers. Pure XLA, so it
+  also runs anywhere, but it is shaped for the TPU MXU.
+* ``pallas`` -- hand-written Pallas TPU kernels (ops/scan_pallas.py) over
+  the same packed layout; the production path on TPU.
+
+Engine primitives take **raw byte batches** (data [B, L] uint8 + lengths):
+the byte->mask translation runs fused and gather-free on device
+(scan_packed.mask_stream_from_bytes) — TPU gathers are ~100x slower than
+the run-compare encoder, so class-id streams are only materialized for the
+unpacked fallback paths.
 
 The engine owns device table placement and the jit caches; the API layer
 (api.py) owns string packing and span-pairing logic.
@@ -22,11 +32,13 @@ from .compiler.program import DeviceProgram, compile_program
 from .ops import scan_xla as sx
 
 
-def _default_backend() -> str:
+def _default_backend(tier: str) -> str:
     env = os.environ.get("RRX_BACKEND")
     if env:
         return env
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if tier == "sparse":
+        return "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "packed"
 
 
 class ScanEngine:
@@ -34,70 +46,151 @@ class ScanEngine:
 
     def __init__(self, prog: DeviceProgram, backend: Optional[str] = None):
         self.prog = prog
-        self.backend = backend or _default_backend()
+        self.backend = backend or _default_backend(prog.tier)
+        if self.backend in ("packed", "pallas") and prog.tier == "sparse":
+            self.backend = "xla"
         self.tables = sx.device_tables(prog)
+        self.n_runs = len(prog.byte_runs[0])
+        self._ptables = None
         self._pallas = None
-        if self.backend == "pallas":
-            try:
-                from .ops import scan_pallas as sp
+        if self.backend in ("packed", "pallas"):
+            from .ops import scan_packed as sp
 
-                self._pallas = sp.PallasScanner(prog)
-            except ImportError:  # pragma: no cover - pallas path unavailable
-                self.backend = "xla"
+            self._sp = sp
+            self._ptables = sp.packed_tables(prog)
+        if self.backend == "pallas":
+            from .ops import scan_pallas as spl
+
+            self._pallas = spl.PallasScanner(prog, self._ptables)
 
     # ------------------------------------------------------------------
     # Stream encoding
     # ------------------------------------------------------------------
     def encode(self, data: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        """[B, T] class-id stream (used by the unpacked engine and the
+        anchored-rescan primitive)."""
         p = self.prog
+        if self._ptables is not None:
+            return self._sp.encode_classes_fast(
+                self._ptables,
+                jnp.asarray(data),
+                jnp.asarray(lengths),
+                n_runs=self.n_runs,
+                bos_class=p.bos_class,
+                eos_class=p.eos_class,
+            )
         return sx.encode_stream(
-            self.tables, data, lengths, p.bos_class, p.eos_class, p.dead_class
+            self.tables,
+            jnp.asarray(data),
+            jnp.asarray(lengths),
+            p.bos_class,
+            p.eos_class,
+            p.dead_class,
         )
+
+    def _words(self, data, lengths, kernel_layout: bool):
+        len_g = self._len_g(lengths)
+        words = self._sp.mask_stream_from_bytes(
+            self._ptables,
+            jnp.asarray(data),
+            len_g,
+            s_tile=self.prog.s_tile,
+            G=self.prog.G,
+            n_runs=self.n_runs,
+            kernel_layout=kernel_layout,
+        )
+        return words, len_g
+
+    def _len_g(self, lengths: jnp.ndarray) -> jnp.ndarray:
+        return jnp.asarray(lengths).reshape(-1, self.prog.G)
 
     # ------------------------------------------------------------------
     # Primitives (all take/return device arrays)
     # ------------------------------------------------------------------
-    def forward_flags(self, cls, *, seeded: bool) -> jnp.ndarray:
+    def forward_flags(self, data, lengths, *, seeded: bool) -> jnp.ndarray:
+        """[B, T+1] accept flags."""
         if self._pallas is not None:
-            return self._pallas.forward_flags(cls, seeded=seeded)
+            words, _ = self._words(data, lengths, kernel_layout=True)
+            return self._pallas.forward_flags(words, seeded=seeded, layout="kernel")
+        if self._ptables is not None:
+            words, _ = self._words(data, lengths, kernel_layout=False)
+            return self._sp.forward_flags(
+                self._ptables, words, seeded=seeded, lanes=self.prog.lanes
+            )
+        cls = self.encode(data, lengths)
         return sx.forward_flags(self.tables, cls, seeded=seeded, n_seed_steps=2)
 
-    def match_stats(self, cls, lengths, *, seeded: bool):
-        if self._pallas is not None:
-            return self._pallas.match_stats(cls, lengths, seeded=seeded)
+    def match_stats(self, data, lengths, *, seeded: bool):
+        """(count, first_end, any) per record, each [B]."""
+        if self._ptables is not None:
+            kernel = self._pallas is not None
+            words, len_g = self._words(data, lengths, kernel_layout=kernel)
+            if kernel:
+                cnt, first, anym = self._pallas.match_stats(
+                    words, len_g, seeded=seeded, layout="kernel"
+                )
+            else:
+                cnt, first, anym = self._sp.match_stats(
+                    self._ptables,
+                    words,
+                    len_g,
+                    seeded=seeded,
+                    nullable=self.prog.nullable,
+                    lanes=self.prog.lanes,
+                )
+            B = cnt.shape[0] * cnt.shape[1]
+            return cnt.reshape(B), first.reshape(B), anym.reshape(B)
+        cls = self.encode(data, lengths)
         return sx.match_stats(
-            self.tables, cls, lengths, seeded=seeded, nullable=self.prog.nullable
+            self.tables, cls, jnp.asarray(lengths), seeded=seeded,
+            nullable=self.prog.nullable,
         )
 
-    def reverse_hits(self, cls) -> jnp.ndarray:
+    def reverse_hits(self, data, lengths) -> jnp.ndarray:
+        """[B, T] start-position hits."""
         if self._pallas is not None:
-            return self._pallas.reverse_hits(cls)
+            words, _ = self._words(data, lengths, kernel_layout=True)
+            return self._pallas.reverse_hits(words, layout="kernel")
+        if self._ptables is not None:
+            words, _ = self._words(data, lengths, kernel_layout=False)
+            return self._sp.reverse_hits(
+                self._ptables, words, lanes=self.prog.lanes
+            )
+        cls = self.encode(data, lengths)
         return sx.reverse_hits(self.tables, cls)
 
-    def first_end_from(self, cls, lengths, starts) -> jnp.ndarray:
-        return sx.first_end_from(self.tables, cls, lengths, starts)
+    def first_end_from(self, data, lengths, starts) -> jnp.ndarray:
+        cls = self.encode(data, lengths)
+        return sx.first_end_from(
+            self.tables, cls, jnp.asarray(lengths), jnp.asarray(starts)
+        )
 
     # ------------------------------------------------------------------
     # Bitmaps
     # ------------------------------------------------------------------
-    def ends_bitmap(self, cls, lengths, max_len: int) -> np.ndarray:
-        flags = self.forward_flags(cls, seeded=True)
+    def ends_bitmap(self, data, lengths, max_len: int) -> np.ndarray:
+        flags = self.forward_flags(data, lengths, seeded=True)
         return np.asarray(
-            sx.ends_bitmap(flags, lengths, max_len, self.prog.nullable, seeded=True)
+            sx.ends_bitmap(
+                flags, jnp.asarray(lengths), max_len, self.prog.nullable,
+                seeded=True,
+            )
         )
 
-    def starts_bitmap(self, cls, lengths, max_len: int) -> np.ndarray:
-        hits = self.reverse_hits(cls)
+    def starts_bitmap(self, data, lengths, max_len: int) -> np.ndarray:
+        hits = self.reverse_hits(data, lengths)
         return np.asarray(
-            sx.starts_bitmap(hits, lengths, max_len, self.prog.nullable)
+            sx.starts_bitmap(
+                hits, jnp.asarray(lengths), max_len, self.prog.nullable
+            )
         )
 
-    def fullmatch_flags(self, cls, lengths) -> np.ndarray:
+    def fullmatch_flags(self, data, lengths) -> np.ndarray:
         """[B] bool whole-string acceptance."""
-        flags = self.forward_flags(cls, seeded=False)
+        flags = self.forward_flags(data, lengths, seeded=False)
         B, T1 = flags.shape
         t = jnp.arange(T1)[None, :]
-        n = lengths[:, None]
+        n = jnp.asarray(lengths)[:, None]
         e = jnp.clip(t - 1, 0, n)
         covers = (jnp.maximum(t - 1, 0) >= n) | (n == 0)
         return np.asarray((flags & (e == n) & covers).any(axis=1))

@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..compiler.program import DeviceProgram
+from ..ops import scan_packed as spk
 from ..ops import scan_xla as sx
 
 DATA_AXIS = "data"
@@ -71,7 +72,9 @@ class DistScanner:
         self.prog = prog
         self.mesh = mesh
         self.axis = axis
-        tables = sx.device_tables(prog)
+        self.n_runs = len(prog.byte_runs[0])
+        self.dense = prog.tier != "sparse"
+        tables = spk.packed_tables(prog) if self.dense else sx.device_tables(prog)
         # replicate tables on every chip (broadcast once, like the
         # "transition tables replicated" requirement of BASELINE config 5)
         rep = NamedSharding(mesh, P())
@@ -79,32 +82,47 @@ class DistScanner:
         self._spec_in = P(axis, None)
         self._spec_v = P(axis)
 
-    # ------------------------------------------------------------------
-    def encode(self, data: jax.Array, lengths: jax.Array) -> jax.Array:
-        p = self.prog
-
-        @functools.partial(
-            jax.shard_map,
-            mesh=self.mesh,
-            in_specs=(P(), self._spec_in, self._spec_v),
-            out_specs=self._spec_in,
-            check_vma=False,
-        )
-        def _enc(tables, d, l):
-            return sx.encode_stream(
-                tables, d, l, p.bos_class, p.eos_class, p.dead_class
+    def _local_stats(self, tables, d, l, seeded):
+        """Per-shard (count, first, any): the packed gather-free path on
+        dense tiers, unpacked fallback on the sparse tier."""
+        prog = self.prog
+        if self.dense:
+            # pad the local shard to a packing-group multiple (zero-length
+            # phantom records; sliced off before any reduction)
+            B0, G = d.shape[0], prog.G
+            Bp = ((B0 + G - 1) // G) * G
+            if Bp != B0:
+                d = jnp.pad(d, ((0, Bp - B0), (0, 0)))
+                l = jnp.pad(l, (0, Bp - B0))
+            len_g = l.reshape(-1, G)
+            words = spk.mask_stream_from_bytes(
+                tables, d, len_g, s_tile=prog.s_tile, G=prog.G,
+                n_runs=self.n_runs,
             )
-
-        return _enc(self.tables, data, lengths)
+            cnt, first, anym = spk.match_stats(
+                tables, words, len_g, seeded=seeded,
+                nullable=prog.nullable, lanes=prog.lanes,
+            )
+            B = cnt.shape[0] * cnt.shape[1]
+            return (
+                cnt.reshape(B)[:B0],
+                first.reshape(B)[:B0],
+                anym.reshape(B)[:B0],
+            )
+        cls = sx.encode_stream(
+            tables, d, l, prog.bos_class, prog.eos_class, prog.dead_class
+        )
+        return sx.match_stats(
+            tables, cls, l, seeded=seeded, nullable=prog.nullable
+        )
 
     # ------------------------------------------------------------------
     def global_stats(
-        self, cls: jax.Array, lengths: jax.Array, *, seeded: bool = True
+        self, data: jax.Array, lengths: jax.Array, *, seeded: bool = True
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Global (total_matches, total_matched_records, total_bytes): the
-        psum-reduced scalar statistics of BASELINE config 5. Returned arrays
-        are fully replicated scalars."""
-        nullable = self.prog.nullable
+        """Global (total_matches, total_matched_records, total_bytes) from a
+        sharded raw-byte batch: the psum-reduced scalar statistics of
+        BASELINE config 5. Returned arrays are fully replicated scalars."""
 
         @functools.partial(
             jax.shard_map,
@@ -113,24 +131,21 @@ class DistScanner:
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        def _stats(tables, c, l):
-            cnt, _, anym = sx.match_stats(
-                tables, c, l, seeded=seeded, nullable=nullable
-            )
+        def _stats(tables, d, l):
+            cnt, _, anym = self._local_stats(tables, d, l, seeded)
             total = jax.lax.psum(jnp.sum(cnt), self.axis)
             nrec = jax.lax.psum(jnp.sum(anym.astype(jnp.int32)), self.axis)
             nbytes = jax.lax.psum(jnp.sum(l), self.axis)
             return total, nrec, nbytes
 
-        return _stats(self.tables, cls, lengths)
+        return _stats(self.tables, data, lengths)
 
     # ------------------------------------------------------------------
     def per_record(
-        self, cls: jax.Array, lengths: jax.Array, *, seeded: bool = True
+        self, data: jax.Array, lengths: jax.Array, *, seeded: bool = True
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Sharded per-record (count, first_end, any) — stays sharded for
         downstream span extraction on the owning chip."""
-        nullable = self.prog.nullable
 
         @functools.partial(
             jax.shard_map,
@@ -139,13 +154,13 @@ class DistScanner:
             out_specs=(self._spec_v, self._spec_v, self._spec_v),
             check_vma=False,
         )
-        def _pr(tables, c, l):
-            return sx.match_stats(tables, c, l, seeded=seeded, nullable=nullable)
+        def _pr(tables, d, l):
+            return self._local_stats(tables, d, l, seeded)
 
-        return _pr(self.tables, cls, lengths)
+        return _pr(self.tables, data, lengths)
 
     # ------------------------------------------------------------------
-    def grep_hits(self, cls: jax.Array, lengths: jax.Array) -> jax.Array:
+    def grep_hits(self, data: jax.Array, lengths: jax.Array) -> jax.Array:
         """[B] bool, sharded: record contains a match."""
-        _, _, anym = self.per_record(cls, lengths, seeded=True)
+        _, _, anym = self.per_record(data, lengths, seeded=True)
         return anym

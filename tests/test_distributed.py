@@ -49,8 +49,7 @@ def test_global_stats_match_oracle(mesh, pattern):
 
     data, lengths = _pack(RECORDS, 16, 32)
     d, l = shard_batch(mesh, data, lengths)
-    cls = scanner.encode(d, l)
-    total, nrec, nbytes = scanner.global_stats(cls, l, seeded=True)
+    total, nrec, nbytes = scanner.global_stats(d, l, seeded=True)
 
     exp_total = sum(len(oracle.ends(r)) for r in RECORDS)
     exp_nrec = sum(1 for r in RECORDS if oracle.search(r))
@@ -67,8 +66,7 @@ def test_per_record_sharding_and_values(mesh):
     recs = [b"ababccd", b"c", b"abd", b"ababababc", b"ccc", b"", b"abc", b"d"] * 2
     data, lengths = _pack(recs, 16, 16)
     d, l = shard_batch(mesh, data, lengths)
-    cls = scanner.encode(d, l)
-    cnt, first, anym = scanner.per_record(cls, l, seeded=True)
+    cnt, first, anym = scanner.per_record(d, l, seeded=True)
     # results stay sharded over the data axis
     assert "data" in str(jax.typeof(cnt).sharding.spec) or True
     for i, r in enumerate(recs):
@@ -84,8 +82,7 @@ def test_grep_hits(mesh):
             b"erro", b"xerrx"] * 2
     data, lengths = _pack(recs, 16, 16)
     d, l = shard_batch(mesh, data, lengths)
-    cls = scanner.encode(d, l)
-    hits = np.asarray(scanner.grep_hits(cls, l))
+    hits = np.asarray(scanner.grep_hits(d, l))
     oracle = OracleEngine(prog.nfa)
     for i, r in enumerate(recs):
         assert bool(hits[i]) == oracle.search(r), (i, r)
