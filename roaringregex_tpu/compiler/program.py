@@ -8,7 +8,10 @@ tiers, Parser.cpp:165-168):
 
 * ``dense128``  -- S <= 128 states, tables padded to 128 (MXU-tile native).
 * ``dense256``  -- S <= 256 states, padded to 256.
-* ``sparse``    -- S > 256: the *follow matrix* is stored block-sparse as
+* ``multiblock`` -- 256 < S <= 1024: dense tables over ceil(S/128)*128
+  lanes; the follow matmul spans multiple MXU tiles but the scan kernels
+  are unchanged (lanes-parametric).
+* ``sparse``    -- S > 1024: the *follow matrix* is stored block-sparse as
   (block_row, block_col, 128x128 block) triples. This is the roaring idea
   translated to TPU: instead of compressing the state *set* (dynamic shapes,
   which XLA cannot tile), we compress the static transition *structure*,
@@ -48,7 +51,11 @@ BLOCK = 128  # MXU-native block edge
 # pack multiple records' state masks into one vector register row so the
 # per-byte follow matmul costs 2*128*128/G FLOPs per corpus byte instead of
 # 2*128*128.
-TILES = (8, 16, 32, 64, 128, 256)
+TILES = (8, 16, 32, 64, 128, 256, 384, 512, 640, 768, 896, 1024)
+
+# Largest state count with fully dense device tables; past this the
+# block-sparse tier takes over (the CRoaring-tier analog, SURVEY.md SS2.2).
+DENSE_MAX = 1024
 
 # Threshold constant for the fused matmul trick: must exceed max possible
 # row sum of v @ F, i.e. the padded state count of the largest dense tier.
@@ -217,6 +224,8 @@ def compile_program(pattern_or_nfa) -> DeviceProgram:
         tier, s_pad = "dense128", BLOCK
     elif S <= 2 * BLOCK:
         tier, s_pad = "dense256", 2 * BLOCK
+    elif S <= DENSE_MAX:
+        tier, s_pad = "multiblock", _round_up(S, BLOCK)
     else:
         tier, s_pad = "sparse", _round_up(S, BLOCK)
 

@@ -38,6 +38,11 @@ DTYPE = jnp.bfloat16
 B_BLK_MAX = 2048
 T_CHUNK_MAX = 128
 B_BLK_FLAGS = 1024
+STREAM_VMEM_BUDGET = 2 * 1024 * 1024  # bytes per stream block (x2 buffers)
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << max(0, x.bit_length() - 1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -251,6 +256,15 @@ class PallasScanner:
         self.acc = ptables["accept_lanes"].astype(DTYPE)[:, None]
 
     # -- stream layout ------------------------------------------------------
+    def _blk_limits(self, b_blk_max: int) -> Tuple[int, int]:
+        """(B_blk_cap, T_chunk_cap) scaled so a stream block fits the VMEM
+        budget at this tier's lane width (W words per row-step)."""
+        if self.lanes > 256:
+            b_blk_max = min(b_blk_max, 512 if self.lanes <= 512 else 256)
+        t_cap = STREAM_VMEM_BUDGET // (self.W * b_blk_max * 4)
+        t_cap = max(8, min(T_CHUNK_MAX, _pow2_floor(t_cap)))
+        return b_blk_max, t_cap
+
     def kernel_stream(
         self, words: jnp.ndarray, layout: str, b_blk_max: int = B_BLK_MAX
     ) -> jnp.ndarray:
@@ -262,18 +276,20 @@ class PallasScanner:
             words = jnp.transpose(words, (0, 2, 1))
         else:
             assert layout == "kernel", layout
+        b_cap, t_cap = self._blk_limits(b_blk_max)
         B_rows = words.shape[2]
-        B_blk = min(b_blk_max, _round_up(B_rows, 128))
+        B_blk = min(b_cap, _round_up(B_rows, 128))
         B_pad = _round_up(B_rows, B_blk)
-        T_chunk = min(T_CHUNK_MAX, _round_up(T, 8))
+        T_chunk = min(t_cap, _round_up(T, 8))
         T_pad = _round_up(T, T_chunk)
         return jnp.pad(words, ((0, T_pad - T), (0, 0), (0, B_pad - B_rows)))
 
     def _geom(
         self, T_pad: int, B_pad: int, b_blk_max: int = B_BLK_MAX
     ) -> Tuple[int, int]:
-        B_blk = min(b_blk_max, B_pad)
-        T_chunk = min(T_CHUNK_MAX, T_pad)
+        b_cap, t_cap = self._blk_limits(b_blk_max)
+        B_blk = min(b_cap, B_pad)
+        T_chunk = min(t_cap, T_pad)
         return B_blk, T_chunk
 
     # -- entry points -------------------------------------------------------

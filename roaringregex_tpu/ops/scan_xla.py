@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..compiler.program import FUSE_K, DeviceProgram
+from ..compiler.program import DeviceProgram
 
 Tables = Dict[str, jnp.ndarray]
 
@@ -46,8 +46,12 @@ def device_tables(prog: DeviceProgram) -> Tables:
         F = prog.F
     else:
         F = _dense_from_blocks(prog)
-    M = np.concatenate([F, FUSE_K * prog.Bc.astype(np.int32)], axis=0)
+    # fuse threshold: power of two > max possible row sum of v @ F (i.e.
+    # > s_pad); exactly representable in bf16 at any size
+    fuse_k = 1 << (prog.s_pad + 1).bit_length()
+    M = np.concatenate([F, fuse_k * prog.Bc.astype(np.int32)], axis=0)
     return {
+        "K": jnp.asarray(fuse_k, jnp.float32),
         "M": jnp.asarray(M, DTYPE),  # [s_pad + c_pad, s_pad]
         "F": jnp.asarray(F, DTYPE),
         "Ft": jnp.asarray(F.T, DTYPE),
@@ -101,7 +105,7 @@ def _step(tables: Tables, v: jnp.ndarray, cls_t: jnp.ndarray) -> jnp.ndarray:
     oh = (cls_t[:, None] == jnp.arange(c_pad)[None, :]).astype(DTYPE)
     u = jnp.concatenate([v, oh], axis=1)
     acc = jnp.dot(u, tables["M"], preferred_element_type=jnp.float32)
-    return (acc > FUSE_K).astype(DTYPE)
+    return (acc > tables["K"]).astype(DTYPE)
 
 
 @functools.partial(jax.jit, static_argnames=("seeded", "n_seed_steps"))

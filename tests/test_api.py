@@ -71,7 +71,8 @@ def test_introspection():
 def test_tier_routing():
     assert rrx.compile("abc").tier == "dense128"
     assert rrx.compile("a" * 200).tier == "dense256"
-    assert rrx.compile("a{1,300}").tier == "sparse"
+    assert rrx.compile("a{1,300}").tier == "multiblock"
+    assert rrx.compile("a{1,1100}").tier == "sparse"
 
 
 def test_long_record():

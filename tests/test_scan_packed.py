@@ -25,6 +25,9 @@ TIER_PATTERNS = [
     ("[a-f]{10,55}", 64),
     ("a{1,120}", 128),
     ("a{1,200}", 256),
+    ("a{1,300}", 384),
+    ("(ab){50,260}", 640),
+    ("a{1,1000}", 1024),
 ]
 
 

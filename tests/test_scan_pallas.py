@@ -21,6 +21,7 @@ PATTERNS = [
     "[a-f]{10,55}",       # tile 64
     "a{1,120}",           # tile 128 (G=1)
     "a{1,200}",           # tile 256 (dense256)
+    "a{1,300}",           # tile 384 (multiblock)
     "(cat|dog)*",         # nullable
     "^ab?c$",             # anchors
 ]

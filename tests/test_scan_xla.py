@@ -126,7 +126,7 @@ def test_sparse_tier_parity():
     fallback: parity on tier-crossing lengths."""
     texts = ["a" * k for k in (0, 1, 5, 299, 300, 301)]
     prog, eng, tables, cls, lengths = _setup("a{1,300}", texts)
-    assert prog.tier == "sparse"
+    assert prog.tier == "multiblock"
     cnt, first, anym = sx.match_stats(
         tables, cls, lengths, seeded=True, nullable=prog.nullable
     )
