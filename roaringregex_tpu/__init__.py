@@ -20,6 +20,11 @@ from .api import Match, Pattern, compile  # noqa: F401
 from .compiler.nfa import NFA, build_nfa  # noqa: F401
 from .compiler.program import DeviceProgram, compile_program  # noqa: F401
 from .compiler.parser import RegexSyntaxError, parse  # noqa: F401
+from .compiler.serialize import (  # noqa: F401
+    cached_compile,
+    load_program,
+    save_program,
+)
 from .oracle.engine import OracleEngine  # noqa: F401
 
 __version__ = "0.1.0"

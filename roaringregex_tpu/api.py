@@ -65,7 +65,10 @@ class Pattern:
     """A compiled pattern bound to a scan engine."""
 
     def __init__(self, pattern: str, backend: Optional[str] = None):
-        self.program: DeviceProgram = compile_program(pattern)
+        from .compiler.serialize import cached_compile
+
+        # honors RRX_CACHE_DIR (content-addressed compiled-program cache)
+        self.program: DeviceProgram = cached_compile(pattern)
         self.engine = ScanEngine(self.program, backend=backend)
         self.oracle = OracleEngine(self.program.nfa)
 

@@ -1,0 +1,156 @@
+"""rrx — grep-style CLI over the batched TPU engine.
+
+The L4 layer of SURVEY.md §7.1 and the analog of the reference's test
+driver (src/test/main.cpp:17-31: reads text+pattern, prints NFA dump,
+verdict, wall time), grown into a usable tool:
+
+    python -m roaringregex_tpu.cli PATTERN [FILE...]      # matching lines
+    ... -c / --count        count matching lines only
+    ... -n / --line-number  prefix line numbers
+    ... -o / --only-spans   print span offsets instead of lines
+    ... --fullmatch         whole-line acceptance (the reference's semantics)
+    ... --dump              print the compiled NFA (NFA::print analog)
+    ... --stats             matches/lines/bytes + wall time to stderr
+    ... --backend {pallas,packed,xla}
+
+Reads stdin when no FILE is given. Lines are batched and scanned
+data-parallel on the device; bytes >= 0x80 are treated as dead symbols
+(the engine is ASCII-only, like the reference: NFA.cc:25).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Iterable, List, Tuple
+
+import numpy as np
+
+
+def _read_lines(paths: List[str]) -> Iterable[Tuple[str, int, bytes]]:
+    if not paths:
+        for i, line in enumerate(sys.stdin.buffer, 1):
+            yield "(stdin)", i, line.rstrip(b"\n")
+        return
+    for p in paths:
+        try:
+            f = open(p, "rb")
+        except OSError as e:
+            raise SystemExit(f"rrx: {p}: {e.strerror}")
+        with f:
+            for i, line in enumerate(f, 1):
+                yield p, i, line.rstrip(b"\n")
+
+
+def pack_lines(lines: List[bytes], G: int, chunk: int = 8192):
+    """Pack line batches into padded [B, L] arrays (B a multiple of G)."""
+    for off in range(0, len(lines), chunk):
+        part = lines[off : off + chunk]
+        B = len(part)
+        Bp = max(G, ((B + G - 1) // G) * G)
+        L = max(16, 1 << (max(len(b) for b in part) or 1).bit_length())
+        data = np.zeros((Bp, L), np.uint8)
+        lengths = np.zeros(Bp, np.int32)
+        for i, b in enumerate(part):
+            data[i, : len(b)] = np.frombuffer(b, np.uint8)
+            lengths[i] = len(b)
+        yield off, B, data, lengths
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="rrx", description="TPU-native POSIX-ERE grep"
+    )
+    ap.add_argument("pattern")
+    ap.add_argument("files", nargs="*")
+    ap.add_argument("-c", "--count", action="store_true")
+    ap.add_argument("-n", "--line-number", action="store_true")
+    ap.add_argument("-o", "--only-spans", action="store_true")
+    ap.add_argument("-v", "--invert-match", action="store_true")
+    ap.add_argument("--fullmatch", action="store_true")
+    ap.add_argument("--dump", action="store_true")
+    ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args(argv)
+
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even where a sitecustomize pins jax_platforms
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from .api import Pattern
+    from .compiler.parser import RegexSyntaxError
+
+    t0 = time.perf_counter()
+    try:
+        pat = Pattern(args.pattern, backend=args.backend)
+    except RegexSyntaxError as e:
+        print(f"rrx: invalid pattern: {e}", file=sys.stderr)
+        return 2
+    if args.dump:
+        print(pat.dump())
+        if not args.files and sys.stdin.isatty():
+            return 0
+
+    meta: List[Tuple[str, int]] = []
+    lines: List[bytes] = []
+    for src, ln, b in _read_lines(args.files):
+        meta.append((src, ln))
+        lines.append(b)
+
+    n_match = 0
+    n_bytes = sum(len(b) for b in lines)
+    many_files = len(args.files) > 1
+    counts_only = args.count
+    for off, B, data, lengths in pack_lines(lines, pat.program.G):
+        if args.fullmatch:
+            hits = pat.engine.fullmatch_flags(data, lengths)[:B]
+        else:
+            _, _, anym = pat.engine.match_stats(data, lengths, seeded=True)
+            hits = np.asarray(anym)[:B]
+        if args.invert_match:
+            hits = ~hits
+        idxs = np.nonzero(hits)[0]
+        n_match += len(idxs)
+        if counts_only:
+            continue
+        span_rows = None
+        if args.only_spans and not args.invert_match:
+            sel = [lines[off + int(i)] for i in idxs]
+            span_rows = pat.finditer_batch(sel) if sel else []
+        for k, i in enumerate(idxs):
+            src, ln = meta[off + int(i)]
+            prefix = f"{src}:" if many_files else ""
+            if args.line_number:
+                prefix += f"{ln}:"
+            if span_rows is not None:
+                spans = " ".join(f"{s}-{e}" for s, e in span_rows[k])
+                print(f"{prefix}{spans}")
+            else:
+                text = lines[off + int(i)].decode("ascii", "replace")
+                print(f"{prefix}{text}")
+
+    if counts_only:
+        print(n_match)
+    if args.stats:
+        dt = time.perf_counter() - t0
+        print(
+            f"rrx: {n_match}/{len(lines)} lines matched, {n_bytes} bytes, "
+            f"{dt*1e3:.1f} ms ({n_bytes/max(dt,1e-9)/1e6:.1f} MB/s), "
+            f"tier={pat.tier} backend={pat.engine.backend}",
+            file=sys.stderr,
+        )
+    return 0 if n_match > 0 else 1
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # e.g. piped into `head`
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(141)
