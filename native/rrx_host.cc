@@ -1,0 +1,566 @@
+// rrx_host — native host runtime for roaringregex_tpu.
+//
+// The reference implements its whole compiler in C++ (Parser.cpp: stack
+// machine; NFA.cc: epsilon-eliminating combinators). This library is the
+// TPU framework's native equivalent of those host-side components:
+//
+//  * POSIX-ERE parser -> Glushkov position NFA (the graph-builder): emits
+//    the logical NFA (follow edges, position labels, accept set) through a
+//    C ABI; Python (compiler/native.py) binds it with ctypes and builds
+//    identical DeviceProgram tables. Semantics mirror compiler/parser.py +
+//    compiler/nfa.py exactly (position numbering, repeat expansion,
+//    anchors as BOS/EOS virtual symbols) — parity is enforced by
+//    tests/test_native.py over the conformance corpus and fuzzing.
+//
+//  * newline-record corpus packer (the data-loader): splits a raw byte
+//    buffer into records and packs them into the padded [B, L] uint8 +
+//    lengths layout the device engines consume, without a Python loop.
+//
+// Build: make -C native  (g++ -O3 -shared; no external dependencies).
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <set>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int kBOS = 128;
+constexpr int kEOS = 129;
+constexpr int kNSYM = 130;
+constexpr int kMaxStates = 16384;  // mirrors compiler/nfa.py MAX_STATES
+
+// ---------------------------------------------------------------------------
+// AST (mirrors compiler/parser.py node shapes)
+// ---------------------------------------------------------------------------
+
+struct Node;
+using NodePtr = std::unique_ptr<Node>;
+
+enum class Kind { Empty, Lit, Concat, Alt, Repeat };
+
+struct Node {
+  Kind kind;
+  // Lit
+  std::vector<uint8_t> syms;  // bitmask over kNSYM bits, 17 bytes
+  // Concat / Alt
+  std::vector<NodePtr> parts;
+  // Repeat
+  NodePtr child;
+  long lo = 0;
+  long hi = -1;  // -1 = unbounded
+};
+
+NodePtr mk(Kind k) {
+  auto n = std::make_unique<Node>();
+  n->kind = k;
+  return n;
+}
+
+NodePtr mk_lit(const std::vector<uint8_t>& mask) {
+  auto n = mk(Kind::Lit);
+  n->syms = mask;
+  return n;
+}
+
+std::vector<uint8_t> empty_mask() {
+  return std::vector<uint8_t>((kNSYM + 7) / 8, 0);
+}
+
+void mask_add(std::vector<uint8_t>& m, int c) { m[c / 8] |= 1 << (c % 8); }
+bool mask_has(const std::vector<uint8_t>& m, int c) {
+  return m[c / 8] & (1 << (c % 8));
+}
+bool mask_empty(const std::vector<uint8_t>& m) {
+  for (uint8_t b : m)
+    if (b) return false;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Parser (recursive descent; mirrors _Parser in compiler/parser.py)
+// ---------------------------------------------------------------------------
+
+struct SyntaxError : std::runtime_error {
+  using std::runtime_error::runtime_error;
+};
+
+class Parser {
+ public:
+  explicit Parser(const std::string& pat) : pat_(pat) {}
+
+  NodePtr parse() {
+    NodePtr n = alternation();
+    if (pos_ != pat_.size())
+      throw SyntaxError("unexpected '" + std::string(1, pat_[pos_]) +
+                        "' at position " + std::to_string(pos_));
+    return n;
+  }
+
+ private:
+  const std::string& pat_;
+  size_t pos_ = 0;
+
+  int peek() { return pos_ < pat_.size() ? (unsigned char)pat_[pos_] : -1; }
+  int next() {
+    if (pos_ >= pat_.size()) throw SyntaxError("unexpected end of pattern");
+    return (unsigned char)pat_[pos_++];
+  }
+  void expect(char c) {
+    if (peek() != c)
+      throw SyntaxError("expected '" + std::string(1, c) + "' at position " +
+                        std::to_string(pos_));
+    pos_++;
+  }
+
+  NodePtr alternation() {
+    std::vector<NodePtr> parts;
+    parts.push_back(concat());
+    while (peek() == '|') {
+      pos_++;
+      parts.push_back(concat());
+    }
+    if (parts.size() > 1) {
+      for (auto& p : parts)
+        if (p->kind == Kind::Empty)
+          throw SyntaxError("empty alternation branch");
+      auto n = mk(Kind::Alt);
+      n->parts = std::move(parts);
+      return n;
+    }
+    return std::move(parts[0]);
+  }
+
+  NodePtr concat() {
+    std::vector<NodePtr> parts;
+    while (true) {
+      int c = peek();
+      if (c == -1 || c == '|' || c == ')') break;
+      parts.push_back(repeat());
+    }
+    if (parts.empty()) return mk(Kind::Empty);
+    if (parts.size() == 1) return std::move(parts[0]);
+    auto n = mk(Kind::Concat);
+    n->parts = std::move(parts);
+    return n;
+  }
+
+  NodePtr repeat() {
+    NodePtr node = atom();
+    while (true) {
+      int c = peek();
+      long lo, hi;
+      if (c == '*') {
+        pos_++;
+        lo = 0;
+        hi = -1;
+      } else if (c == '+') {
+        pos_++;
+        lo = 1;
+        hi = -1;
+      } else if (c == '?') {
+        pos_++;
+        lo = 0;
+        hi = 1;
+      } else if (c == '{') {
+        braces(lo, hi);
+      } else {
+        return node;
+      }
+      if (node->kind == Kind::Empty) continue;  // quantified empty is empty
+      auto r = mk(Kind::Repeat);
+      r->child = std::move(node);
+      r->lo = lo;
+      r->hi = hi;
+      node = std::move(r);
+    }
+  }
+
+  void braces(long& lo, long& hi) {
+    expect('{');
+    lo = integer("repetition lower bound");
+    if (peek() == ',') {
+      pos_++;
+      if (peek() == '}')
+        hi = -1;
+      else
+        hi = integer("repetition upper bound");
+    } else {
+      hi = lo;
+    }
+    expect('}');
+    if (hi >= 0 && hi < lo)
+      throw SyntaxError("invalid repetition bounds {" + std::to_string(lo) +
+                        "," + std::to_string(hi) + "}");
+  }
+
+  long integer(const char* what) {
+    size_t start = pos_;
+    while (peek() >= '0' && peek() <= '9') pos_++;
+    if (pos_ == start)
+      throw SyntaxError(std::string("expected ") + what + " at position " +
+                        std::to_string(pos_));
+    return std::stol(pat_.substr(start, pos_ - start));
+  }
+
+  int byte_of(int ch) {
+    if (ch > 127) throw SyntaxError("non-ASCII character (ASCII-only)");
+    return ch;
+  }
+
+  NodePtr atom() {
+    int c = next();
+    if (c == '(') {
+      NodePtr n = alternation();
+      expect(')');
+      return n;
+    }
+    if (c == '[') return mk_lit(bracket());
+    if (c == '.') {
+      auto m = empty_mask();
+      for (int b = 0; b < 128; b++) mask_add(m, b);
+      return mk_lit(m);
+    }
+    if (c == '^') {
+      auto m = empty_mask();
+      mask_add(m, kBOS);
+      return mk_lit(m);
+    }
+    if (c == '$') {
+      auto m = empty_mask();
+      mask_add(m, kEOS);
+      return mk_lit(m);
+    }
+    if (c == '\\') {
+      auto m = empty_mask();
+      mask_add(m, byte_of(next()));
+      return mk_lit(m);
+    }
+    if (c == '*' || c == '+' || c == '?' || c == '{')
+      throw SyntaxError("quantifier with nothing to repeat");
+    if (c == ')') throw SyntaxError("unbalanced ')'");
+    auto m = empty_mask();
+    mask_add(m, byte_of(c));
+    return mk_lit(m);
+  }
+
+  std::vector<uint8_t> bracket() {
+    auto members = empty_mask();
+    bool negate = false;
+    if (peek() == '^') {
+      pos_++;
+      negate = true;
+    }
+    while (true) {
+      int c = peek();
+      if (c == -1) throw SyntaxError("unterminated bracket expression");
+      if (c == ']') {
+        pos_++;
+        break;
+      }
+      pos_++;
+      if (c == '\\') {
+        mask_add(members, byte_of(next()));
+        continue;
+      }
+      // range?
+      if (peek() == '-' && pos_ + 1 < pat_.size() &&
+          pat_[pos_ + 1] != ']') {
+        pos_++;  // consume '-'
+        int hi_ch = next();
+        if (hi_ch == '\\') hi_ch = next();
+        int lo_b = byte_of(c), hi_b = byte_of(hi_ch);
+        if (hi_b < lo_b) throw SyntaxError("reversed range");
+        for (int b = lo_b; b <= hi_b; b++) mask_add(members, b);
+      } else {
+        mask_add(members, byte_of(c));
+      }
+    }
+    if (negate) {
+      auto m = empty_mask();
+      for (int b = 0; b < 128; b++)
+        if (!mask_has(members, b)) mask_add(m, b);
+      members = m;
+    }
+    if (mask_empty(members)) throw SyntaxError("empty bracket expression");
+    return members;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Glushkov builder (mirrors compiler/nfa.py _Builder; bitset position sets)
+// ---------------------------------------------------------------------------
+
+struct PosSet {
+  std::vector<uint64_t> w;
+  explicit PosSet(size_t nbits = 0) : w((nbits + 63) / 64, 0) {}
+  void add(int p) { w[p >> 6] |= 1ull << (p & 63); }
+  void operator|=(const PosSet& o) {
+    for (size_t i = 0; i < w.size(); i++) w[i] |= o.w[i];
+  }
+  template <class F>
+  void for_each(F f) const {
+    for (size_t i = 0; i < w.size(); i++) {
+      uint64_t x = w[i];
+      while (x) {
+        f(int(i * 64 + __builtin_ctzll(x)));
+        x &= x - 1;
+      }
+    }
+  }
+};
+
+struct G {
+  bool nullable;
+  PosSet first, last;
+};
+
+long count_positions(const Node* n) {
+  switch (n->kind) {
+    case Kind::Empty:
+      return 0;
+    case Kind::Lit:
+      return 1;
+    case Kind::Concat:
+    case Kind::Alt: {
+      long s = 0;
+      for (auto& p : n->parts) s += count_positions(p.get());
+      return s;
+    }
+    case Kind::Repeat: {
+      long c = count_positions(n->child.get());
+      if (n->hi < 0) return c * std::max(n->lo, 1l);
+      if (n->hi == 0) return 0;
+      return c * n->hi;
+    }
+  }
+  return 0;
+}
+
+class Builder {
+ public:
+  explicit Builder(size_t n_pos)
+      : n_pos_(n_pos), labels_(), follow_(n_pos, PosSet(n_pos + 1)) {
+    labels_.reserve(n_pos);
+  }
+
+  size_t n_pos_;
+  std::vector<std::vector<uint8_t>> labels_;    // per position (1-based - 1)
+  std::vector<PosSet> follow_;                  // per position (1-based - 1)
+
+  int new_pos(const std::vector<uint8_t>& syms) {
+    labels_.push_back(syms);
+    return (int)labels_.size();  // 1-based
+  }
+
+  G build(const Node* n) {
+    switch (n->kind) {
+      case Kind::Empty:
+        return G{true, PosSet(n_pos_ + 1), PosSet(n_pos_ + 1)};
+      case Kind::Lit: {
+        int p = new_pos(n->syms);
+        G g{false, PosSet(n_pos_ + 1), PosSet(n_pos_ + 1)};
+        g.first.add(p);
+        g.last.add(p);
+        return g;
+      }
+      case Kind::Concat: {
+        G g = build(n->parts[0].get());
+        for (size_t i = 1; i < n->parts.size(); i++) {
+          G h = build(n->parts[i].get());
+          concat_into(g, h);
+        }
+        return g;
+      }
+      case Kind::Alt: {
+        G g{false, PosSet(n_pos_ + 1), PosSet(n_pos_ + 1)};
+        for (auto& p : n->parts) {
+          G h = build(p.get());
+          g.nullable = g.nullable || h.nullable;
+          g.first |= h.first;
+          g.last |= h.last;
+        }
+        return g;
+      }
+      case Kind::Repeat:
+        return repeat(n);
+    }
+    throw std::logic_error("unreachable");
+  }
+
+ private:
+  void link(const PosSet& lasts, const PosSet& firsts) {
+    lasts.for_each([&](int p) { follow_[p - 1] |= firsts; });
+  }
+
+  void concat_into(G& g, G& h) {
+    link(g.last, h.first);
+    bool nullable = g.nullable && h.nullable;
+    if (g.nullable) g.first |= h.first;
+    PosSet last = h.last;
+    if (h.nullable) last |= g.last;
+    g.nullable = nullable;
+    g.last = last;
+  }
+
+  G star(G g) {
+    link(g.last, g.first);
+    g.nullable = true;
+    return g;
+  }
+
+  G plus(G g) {
+    link(g.last, g.first);
+    return g;
+  }
+
+  G repeat(const Node* n) {
+    const Node* child = n->child.get();
+    long lo = n->lo, hi = n->hi;
+    if (hi == 0) return G{true, PosSet(n_pos_ + 1), PosSet(n_pos_ + 1)};
+    if (hi < 0) {
+      if (lo == 0) return star(build(child));
+      std::vector<G> gs;
+      for (long i = 0; i < lo; i++) gs.push_back(build(child));
+      gs.back() = plus(std::move(gs.back()));
+      return concat_all(std::move(gs));
+    }
+    std::vector<G> gs;
+    for (long i = 0; i < lo; i++) gs.push_back(build(child));
+    for (long i = 0; i < hi - lo; i++) {
+      G g = build(child);
+      g.nullable = true;  // optionalized copy
+      gs.push_back(std::move(g));
+    }
+    return concat_all(std::move(gs));
+  }
+
+  G concat_all(std::vector<G> gs) {
+    G g = std::move(gs[0]);
+    for (size_t i = 1; i < gs.size(); i++) concat_into(g, gs[i]);
+    return g;
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+struct RrxProgram {
+  long n_states;
+  bool nullable;
+  std::vector<int32_t> edges;    // flattened (i, j) pairs
+  std::vector<uint8_t> labels;   // (S-1) * 17 symbol bitmasks
+  std::vector<int32_t> accept;
+};
+
+extern "C" {
+
+RrxProgram* rrx_compile(const char* pattern, char* err, int errlen) {
+  try {
+    std::string pat(pattern);
+    Parser parser(pat);
+    NodePtr ast = parser.parse();
+    long n_pos = count_positions(ast.get());
+    if (n_pos + 1 > kMaxStates)
+      throw SyntaxError("pattern needs " + std::to_string(n_pos + 1) +
+                        " states > MAX_STATES=" + std::to_string(kMaxStates));
+    Builder b((size_t)n_pos);
+    G g = b.build(ast.get());
+    auto out = std::make_unique<RrxProgram>();
+    out->n_states = n_pos + 1;
+    out->nullable = g.nullable;
+    // state 0's follow row = first(root); rows 1..n = builder follow sets
+    g.first.for_each([&](int j) {
+      out->edges.push_back(0);
+      out->edges.push_back(j);
+    });
+    for (long i = 0; i < n_pos; i++) {
+      b.follow_[i].for_each([&](int j) {
+        out->edges.push_back((int32_t)(i + 1));
+        out->edges.push_back(j);
+      });
+    }
+    const size_t nbytes = (kNSYM + 7) / 8;
+    out->labels.resize((size_t)n_pos * nbytes);
+    for (long p = 0; p < n_pos; p++)
+      std::memcpy(&out->labels[p * nbytes], b.labels_[p].data(), nbytes);
+    std::set<int32_t> acc;
+    g.last.for_each([&](int p) { acc.insert(p); });
+    if (g.nullable) acc.insert(0);
+    out->accept.assign(acc.begin(), acc.end());
+    return out.release();
+  } catch (const std::exception& e) {
+    if (err && errlen > 0) {
+      std::strncpy(err, e.what(), errlen - 1);
+      err[errlen - 1] = 0;
+    }
+    return nullptr;
+  }
+}
+
+long rrx_n_states(const RrxProgram* p) { return p->n_states; }
+int rrx_nullable(const RrxProgram* p) { return p->nullable ? 1 : 0; }
+long rrx_n_edges(const RrxProgram* p) { return (long)(p->edges.size() / 2); }
+void rrx_edges(const RrxProgram* p, int32_t* out) {
+  std::memcpy(out, p->edges.data(), p->edges.size() * sizeof(int32_t));
+}
+void rrx_labels(const RrxProgram* p, uint8_t* out) {
+  std::memcpy(out, p->labels.data(), p->labels.size());
+}
+long rrx_n_accept(const RrxProgram* p) { return (long)p->accept.size(); }
+void rrx_accept(const RrxProgram* p, int32_t* out) {
+  std::memcpy(out, p->accept.data(), p->accept.size() * sizeof(int32_t));
+}
+void rrx_free(RrxProgram* p) { delete p; }
+
+// ---------------------------------------------------------------------------
+// Corpus packer (data-loader): newline records -> padded [B, L] + lengths.
+// Returns the record count, or -1 if more than max_records records exist.
+// Records longer than L are truncated to L (caller picks L = max length,
+// discoverable via rrx_scan_records).
+// ---------------------------------------------------------------------------
+
+long rrx_scan_records(const uint8_t* buf, long n, long* max_len) {
+  long count = 0, cur = 0, mx = 0;
+  for (long i = 0; i < n; i++) {
+    if (buf[i] == '\n') {
+      count++;
+      if (cur > mx) mx = cur;
+      cur = 0;
+    } else {
+      cur++;
+    }
+  }
+  if (cur > 0) {  // trailing record without newline
+    count++;
+    if (cur > mx) mx = cur;
+  }
+  if (max_len) *max_len = mx;
+  return count;
+}
+
+long rrx_pack_lines(const uint8_t* buf, long n, long max_records, long L,
+                    uint8_t* data, int32_t* lengths) {
+  long rec = 0, start = 0;
+  for (long i = 0; i <= n; i++) {
+    if (i == n || buf[i] == '\n') {
+      if (i == n && i == start) break;  // no trailing record
+      if (rec >= max_records) return -1;
+      long len = i - start;
+      if (len > L) len = L;
+      std::memcpy(data + rec * L, buf + start, len);
+      if (len < L) std::memset(data + rec * L + len, 0, L - len);
+      lengths[rec] = (int32_t)len;
+      rec++;
+      start = i + 1;
+    }
+  }
+  return rec;
+}
+
+}  // extern "C"

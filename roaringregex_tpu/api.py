@@ -70,7 +70,15 @@ class Pattern:
         # honors RRX_CACHE_DIR (content-addressed compiled-program cache)
         self.program: DeviceProgram = cached_compile(pattern)
         self.engine = ScanEngine(self.program, backend=backend)
-        self.oracle = OracleEngine(self.program.nfa)
+        self._oracle: Optional[OracleEngine] = None
+
+    @property
+    def oracle(self) -> OracleEngine:
+        """Lazily-built executable-spec engine (it walks Python sets, which
+        is off the hot compile path for repetition-heavy patterns)."""
+        if self._oracle is None:
+            self._oracle = OracleEngine(self.program.nfa)
+        return self._oracle
 
     # -- introspection ----------------------------------------------------
     @property

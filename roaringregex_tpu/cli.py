@@ -27,34 +27,39 @@ from typing import Iterable, List, Tuple
 import numpy as np
 
 
-def _read_lines(paths: List[str]) -> Iterable[Tuple[str, int, bytes]]:
+def _read_buffers(paths: List[str]) -> Iterable[Tuple[str, bytes]]:
     if not paths:
-        for i, line in enumerate(sys.stdin.buffer, 1):
-            yield "(stdin)", i, line.rstrip(b"\n")
+        yield "(stdin)", sys.stdin.buffer.read()
         return
     for p in paths:
         try:
-            f = open(p, "rb")
+            with open(p, "rb") as f:
+                yield p, f.read()
         except OSError as e:
             raise SystemExit(f"rrx: {p}: {e.strerror}")
-        with f:
-            for i, line in enumerate(f, 1):
-                yield p, i, line.rstrip(b"\n")
 
 
-def pack_lines(lines: List[bytes], G: int, chunk: int = 8192):
-    """Pack line batches into padded [B, L] arrays (B a multiple of G)."""
-    for off in range(0, len(lines), chunk):
-        part = lines[off : off + chunk]
-        B = len(part)
-        Bp = max(G, ((B + G - 1) // G) * G)
-        L = max(16, 1 << (max(len(b) for b in part) or 1).bit_length())
-        data = np.zeros((Bp, L), np.uint8)
-        lengths = np.zeros(Bp, np.int32)
-        for i, b in enumerate(part):
-            data[i, : len(b)] = np.frombuffer(b, np.uint8)
-            lengths[i] = len(b)
-        yield off, B, data, lengths
+def pack_buffer(buf: bytes, G: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Newline-split + pad a corpus buffer: native data-loader when built
+    (native/rrx_host.cc), Python fallback otherwise. L is sized by the
+    longest record, so a single huge line inflates the whole batch."""
+    from .compiler.native import pack_corpus_native
+
+    r = pack_corpus_native(buf, G)
+    if r is not None:
+        return r
+    lines = buf.split(b"\n")
+    if lines and lines[-1] == b"":
+        lines.pop()
+    B = len(lines)
+    Bp = max(G, ((B + G - 1) // G) * G)
+    L = max(16, 1 << (max((len(b) for b in lines), default=1) or 1).bit_length())
+    data = np.zeros((Bp, L), np.uint8)
+    lengths = np.zeros(Bp, np.int32)
+    for i, b in enumerate(lines):
+        data[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lengths[i] = len(b)
+    return data, lengths, B
 
 
 def main(argv=None) -> int:
@@ -95,17 +100,17 @@ def main(argv=None) -> int:
         if not args.files and sys.stdin.isatty():
             return 0
 
-    meta: List[Tuple[str, int]] = []
-    lines: List[bytes] = []
-    for src, ln, b in _read_lines(args.files):
-        meta.append((src, ln))
-        lines.append(b)
-
     n_match = 0
-    n_bytes = sum(len(b) for b in lines)
+    n_lines = 0
+    n_bytes = 0
     many_files = len(args.files) > 1
     counts_only = args.count
-    for off, B, data, lengths in pack_lines(lines, pat.program.G):
+    for src, buf in _read_buffers(args.files):
+        data, lengths, B = pack_buffer(buf, pat.program.G)
+        n_lines += B
+        n_bytes += int(lengths[:B].sum())
+        if B == 0:
+            continue
         if args.fullmatch:
             hits = pat.engine.fullmatch_flags(data, lengths)[:B]
         else:
@@ -119,18 +124,19 @@ def main(argv=None) -> int:
             continue
         span_rows = None
         if args.only_spans and not args.invert_match:
-            sel = [lines[off + int(i)] for i in idxs]
+            sel = [bytes(data[int(i), : lengths[int(i)]]) for i in idxs]
             span_rows = pat.finditer_batch(sel) if sel else []
         for k, i in enumerate(idxs):
-            src, ln = meta[off + int(i)]
             prefix = f"{src}:" if many_files else ""
             if args.line_number:
-                prefix += f"{ln}:"
+                prefix += f"{int(i) + 1}:"
             if span_rows is not None:
                 spans = " ".join(f"{s}-{e}" for s, e in span_rows[k])
                 print(f"{prefix}{spans}")
             else:
-                text = lines[off + int(i)].decode("ascii", "replace")
+                text = bytes(data[int(i), : lengths[int(i)]]).decode(
+                    "ascii", "replace"
+                )
                 print(f"{prefix}{text}")
 
     if counts_only:
@@ -138,7 +144,7 @@ def main(argv=None) -> int:
     if args.stats:
         dt = time.perf_counter() - t0
         print(
-            f"rrx: {n_match}/{len(lines)} lines matched, {n_bytes} bytes, "
+            f"rrx: {n_match}/{n_lines} lines matched, {n_bytes} bytes, "
             f"{dt*1e3:.1f} ms ({n_bytes/max(dt,1e-9)/1e6:.1f} MB/s), "
             f"tier={pat.tier} backend={pat.engine.backend}",
             file=sys.stderr,

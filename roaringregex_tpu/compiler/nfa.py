@@ -186,19 +186,49 @@ class NFA:
     positions. ``follow[i]`` includes state 0's row = first(root).
     Acceptance: D intersects ``accept``; transitions:
     ``delta(D, sym) = (U_{i in D} follow[i]) & B[sym]``.
+
+    The follow relation is stored EITHER as Python sets (``follow_sets``)
+    or as an edge array (``edges`` [nnz, 2] int32, the native compiler's
+    form); each view materializes lazily from the other. Hot compile paths
+    only touch the numpy forms.
     """
 
     pattern: str
     n_states: int
     labels: List[frozenset]  # per position 1..n-1 (index p-1)
-    follow_sets: List[Set[int]]  # index by state id 0..n-1
-    accept_set: Set[int]
-    nullable: bool
+    follow_sets: Optional[List[Set[int]]] = None  # index by state 0..n-1
+    accept_set: Set[int] = None
+    nullable: bool = False
+    edges: Optional[np.ndarray] = None  # [nnz, 2] int32, sorted by source
+
+    def __post_init__(self):
+        assert (self.follow_sets is not None) or (self.edges is not None)
 
     # ---- dense numpy table forms (built lazily) ----
     _follow_mat: Optional[np.ndarray] = None
     _symtab: Optional[np.ndarray] = None
     _accept_vec: Optional[np.ndarray] = None
+
+    def get_follow_sets(self) -> List[Set[int]]:
+        """List-of-sets view (materialized on demand from the edge array)."""
+        if self.follow_sets is None:
+            e = self.edges
+            splits = np.searchsorted(e[:, 0], np.arange(1, self.n_states))
+            self.follow_sets = [
+                set(p.tolist()) for p in np.split(e[:, 1], splits)
+            ]
+        return self.follow_sets
+
+    def get_edges(self) -> np.ndarray:
+        """Edge-array view (materialized on demand from the sets)."""
+        if self.edges is None:
+            pairs = [
+                (i, j)
+                for i, fs in enumerate(self.follow_sets)
+                for j in sorted(fs)
+            ]
+            self.edges = np.array(pairs, dtype=np.int32).reshape(-1, 2)
+        return self.edges
 
     @property
     def follow_matrix(self) -> np.ndarray:
@@ -206,9 +236,9 @@ class NFA:
         if self._follow_mat is None:
             S = self.n_states
             F = np.zeros((S, S), dtype=np.uint8)
-            for i, fs in enumerate(self.follow_sets):
-                for j in fs:
-                    F[i, j] = 1
+            e = self.get_edges()
+            if len(e):
+                F[e[:, 0], e[:, 1]] = 1
             self._follow_mat = F
         return self._follow_mat
 
@@ -236,7 +266,7 @@ class NFA:
 
     # ---- packed integer forms (oracle / word-tier) ----
     def follow_ints(self) -> List[int]:
-        return [_set_to_int(fs) for fs in self.follow_sets]
+        return [_set_to_int(fs) for fs in self.get_follow_sets()]
 
     def symtab_ints(self) -> List[int]:
         out = []
@@ -255,9 +285,10 @@ class NFA:
             f"states: {self.n_states} (state 0 = initial)",
             f"accept: {sorted(self.accept_set)}  nullable: {self.nullable}",
         ]
+        fs = self.get_follow_sets()
         for i in range(self.n_states):
             lab = "" if i == 0 else f"  label={_fmt_syms(self.labels[i - 1])}"
-            lines.append(f"  {i}: follow={sorted(self.follow_sets[i])}{lab}")
+            lines.append(f"  {i}: follow={sorted(fs[i])}{lab}")
         return "\n".join(lines)
 
 
@@ -291,9 +322,24 @@ def _fmt_syms(syms: frozenset) -> str:
     return f"[{''.join(names)}]"
 
 
-def build_nfa(pattern: str) -> NFA:
+def build_nfa(pattern: str, use_native: bool = True) -> NFA:
     """Compile a pattern to its Glushkov NFA (two-pass, like RRegex::RRegex
-    Parser.cpp:161-170: size first, then tables)."""
+    Parser.cpp:161-170: size first, then tables).
+
+    Dispatches to the native C++ compiler (native/rrx_host.cc via
+    compiler/native.py) when available — identical output, enforced by
+    tests/test_native.py — and falls back to the pure-Python build."""
+    if use_native:
+        from .native import build_nfa_native
+
+        nfa = build_nfa_native(pattern)
+        if nfa is not None:
+            return nfa
+    return build_nfa_py(pattern)
+
+
+def build_nfa_py(pattern: str) -> NFA:
+    """Pure-Python reference implementation of the Glushkov build."""
     ast = parse(pattern)
     n_pos = count_positions(ast)
     if n_pos + 1 > MAX_STATES:

@@ -307,7 +307,7 @@ def _block_sparse_follow(
     roaring tier conceptually -- SS2.12.1)."""
     nb = s_pad // BLOCK
     blocks: Dict[Tuple[int, int], np.ndarray] = {}
-    for i, fs in enumerate(nfa.follow_sets):
+    for i, fs in enumerate(nfa.get_follow_sets()):
         bi, ri = divmod(i, BLOCK)
         for j in fs:
             bj, rj = divmod(j, BLOCK)

@@ -39,10 +39,7 @@ def save_program(prog: DeviceProgram, path: str) -> None:
     nfa = prog.nfa
     S = nfa.n_states
     # follow edges as [nnz, 2] int32
-    edges = np.array(
-        [(i, j) for i, fs in enumerate(nfa.follow_sets) for j in sorted(fs)],
-        dtype=np.int32,
-    ).reshape(-1, 2)
+    edges = nfa.get_edges()
     # per-position symbol sets, bit-packed over NSYM symbols
     nbytes = (NSYM + 7) // 8
     labels = np.zeros((S - 1, nbytes), dtype=np.uint8)

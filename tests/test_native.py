@@ -1,0 +1,113 @@
+"""Native C++ host runtime parity tests (compiler + corpus packer).
+
+The native library (native/rrx_host.cc) must produce *identical* Glushkov
+NFAs to the pure-Python compiler — same position numbering, follow edges,
+labels, accept set — across the conformance feature grid plus randomized
+pattern fuzzing. The packer must reproduce the Python packing layout.
+"""
+import numpy as np
+import pytest
+
+from roaringregex_tpu.compiler import native
+from roaringregex_tpu.compiler.nfa import build_nfa_py
+from roaringregex_tpu.compiler.parser import RegexSyntaxError
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+PATTERNS = [
+    "", "a", "abc", "ab|cd", "(a|b)(c|d)", "a*", "(ab)*", "a+b", "ab?",
+    "a{2}", "a{2,4}", "a{2,}", "a{0,3}", "...", "a.c", "[a-c]", "[^a-c]",
+    "[\\]]", "a\\.b", "(ab)*c+d?", "^abc$", "abc$", "^abc", "cat|dog",
+    "(cat|dog)+[0-9]*", "[a-z]+\\.log$", ".*error.*", "a{1,300}",
+    "((a|b)*c){2,3}", "\\\\", "\\*", "x{0,0}", "(a?)*b",
+]
+
+
+def _assert_same(pattern):
+    n_nat = native.build_nfa_native(pattern)
+    n_py = build_nfa_py(pattern)
+    assert n_nat.n_states == n_py.n_states, pattern
+    assert n_nat.nullable == n_py.nullable, pattern
+    assert n_nat.labels == n_py.labels, pattern
+    assert n_nat.get_follow_sets() == n_py.get_follow_sets(), pattern
+    assert n_nat.accept_set == n_py.accept_set, pattern
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_native_compiler_parity(pattern):
+    _assert_same(pattern)
+
+
+def test_native_compiler_fuzz_parity():
+    rng = np.random.default_rng(7)
+    atoms = list("abcxyz09.") + ["[a-f]", "[^x]", "(ab)", "(a|b)", "\\.", "^", "$"]
+    quants = ["", "*", "+", "?", "{2}", "{1,3}", "{2,}"]
+    for _ in range(300):
+        n = int(rng.integers(1, 6))
+        parts = []
+        for _ in range(n):
+            a = atoms[int(rng.integers(0, len(atoms)))]
+            q = quants[int(rng.integers(0, len(quants)))]
+            parts.append(a + q)
+        pattern = "|".join(
+            "".join(parts[i::2]) or "x" for i in range(min(2, n))
+        )
+        try:
+            _assert_same(pattern)
+        except RegexSyntaxError:
+            # both must reject
+            with pytest.raises(RegexSyntaxError):
+                build_nfa_py(pattern)
+            with pytest.raises(RegexSyntaxError):
+                native.build_nfa_native(pattern)
+
+
+@pytest.mark.parametrize(
+    "bad", ["a{3,1}", "(", ")", "[a-", "a|", "|a", "*a", "+", "a{", "[]", "[^\x7f-"]
+)
+def test_native_rejects_like_python(bad):
+    with pytest.raises((RegexSyntaxError, Exception)):
+        build_nfa_py(bad)
+    with pytest.raises(Exception):
+        native.build_nfa_native(bad)
+
+
+def test_native_too_large():
+    from roaringregex_tpu.compiler.nfa import PatternTooLargeError
+
+    with pytest.raises(PatternTooLargeError):
+        native.build_nfa_native("a{1,20000}")
+
+
+# ---------------------------------------------------------------------------
+# Packer
+# ---------------------------------------------------------------------------
+
+
+def test_pack_corpus_matches_python():
+    rng = np.random.default_rng(3)
+    lines = []
+    for _ in range(100):
+        ln = int(rng.integers(0, 50))
+        lines.append(bytes(rng.integers(97, 123, ln, dtype=np.uint8)))
+    buf = b"\n".join(lines) + b"\n"
+    d, l, cnt = native.pack_corpus_native(buf, G=16)
+    assert cnt == 100
+    assert d.shape[0] % 16 == 0 and d.shape[0] >= 100
+    for i, line in enumerate(lines):
+        assert l[i] == len(line)
+        assert bytes(d[i, : len(line)]) == line
+        assert not d[i, len(line):].any()
+    # padding rows are zero-length
+    assert not l[100:].any()
+
+
+def test_pack_corpus_trailing_and_empty():
+    d, l, cnt = native.pack_corpus_native(b"ab\n\nxyz", G=4)  # no trailing \n
+    assert cnt == 3
+    assert l[:3].tolist() == [2, 0, 3]
+    assert bytes(d[2, :3]) == b"xyz"
+    d, l, cnt = native.pack_corpus_native(b"", G=4)
+    assert cnt == 0 and l.sum() == 0

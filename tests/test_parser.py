@@ -89,7 +89,7 @@ def test_state_ids_not_truncated():
     nfa = build_nfa("a{1,300}")
     assert nfa.n_states == 301
     # the chain structure must be intact at the high end
-    assert 300 in nfa.follow_sets[299]
+    assert 300 in nfa.get_follow_sets()[299]
     assert 300 in nfa.accept_set
     assert 1 in nfa.accept_set  # a{1,..}: every prefix >= 1 accepts
 
