@@ -164,3 +164,105 @@ class DistScanner:
         """[B] bool, sharded: record contains a match."""
         _, _, anym = self.per_record(data, lengths, seeded=True)
         return anym
+
+    # ------------------------------------------------------------------
+    # Long-string mode: ONE string sharded across the mesh
+    # ------------------------------------------------------------------
+    def long_flags(
+        self, text_bytes, *, block: int = 4096, seeded: bool = True
+    ) -> np.ndarray:
+        """Block-parallel scan of one long string with the blocks sharded
+        over the data axis (the cross-chip sequence-parallel path):
+
+        1. per-shard block summaries (affine (M, s) pairs) — parallel, no
+           communication;
+        2. summaries gathered (tiny: nb x S^2 bf16) and prefix-combined;
+        3. entry states scattered back; per-shard replay — parallel.
+
+        Returns flags [T = len+2] (the ops/longstring.py convention).
+        """
+        import numpy as _np
+
+        from ..ops import longstring as ls
+
+        prog = self.prog
+        tables = sx.device_tables(prog) if self.dense else self.tables
+        n = len(text_bytes)
+        data = _np.frombuffer(bytes(text_bytes), dtype=_np.uint8)
+        cls = _np.asarray(
+            sx.encode_stream(
+                tables,
+                jnp.asarray(data)[None, :],
+                jnp.asarray([n]),
+                prog.bos_class,
+                prog.eos_class,
+                prog.dead_class,
+            )
+        )[0]
+        T = cls.shape[0]
+        D = self.mesh.devices.size
+        nb = -(-T // block)
+        nb = ((nb + D - 1) // D) * D  # block count divisible by mesh size
+        cls_b = _np.zeros((nb, block), _np.int32)
+        cls_b.reshape(-1)[:T] = cls
+        first_gate = (_np.arange(nb) == 0).astype(_np.float32)
+        shard2 = NamedSharding(self.mesh, P(self.axis, None))
+        shard1 = NamedSharding(self.mesh, P(self.axis))
+        cls_sharded = jax.device_put(cls_b, shard2)
+        fg_sharded = jax.device_put(first_gate, shard1)
+
+        s_pad = int(tables["accept"].shape[0])
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), self._spec_in, self._spec_v),
+            out_specs=(self._spec_in, self._spec_in),
+            check_vma=False,
+        )
+        def _summaries(tb, cb, fg):
+            Ms, ss = ls.block_summaries(
+                tb, cb, fg, s_pad=s_pad, seeded=seeded
+            )
+            return Ms.reshape(cb.shape[0], -1), ss
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), self._spec_in, self._spec_in, self._spec_v),
+            out_specs=self._spec_in,
+            check_vma=False,
+        )
+        def _replay(tb, cb, ve, fg):
+            return ls.block_replay(tb, cb, ve, fg, seeded=seeded)
+
+        tb_rep = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), tables
+        )
+        # stage 1: shard-local summaries (no communication)
+        Ms_flat, ss = _summaries(tb_rep, cls_sharded, fg_sharded)
+        # stage 2: prefix combine on the tiny replicated summary tensor —
+        # the only data that crosses chips
+        Ms_rep = jax.device_put(
+            np.asarray(Ms_flat).reshape(nb, s_pad, s_pad),
+            NamedSharding(self.mesh, P()),
+        )
+        ss_rep = jax.device_put(np.asarray(ss), NamedSharding(self.mesh, P()))
+        ventry = ls.prefix_entries(Ms_rep, ss_rep)
+        ventry_sh = jax.device_put(np.asarray(ventry, _np.float32), shard2)
+        # stage 3: shard-local replay
+        flags_b = _np.asarray(
+            _replay(tb_rep, cls_sharded, ventry_sh, fg_sharded)
+        )
+        return flags_b.reshape(-1)[:T]
+
+    def long_count(self, text_bytes, *, block: int = 4096) -> int:
+        """Distinct match-end positions in one sharded long string."""
+        n = len(text_bytes)
+        flags = self.long_flags(text_bytes, block=block, seeded=True)
+        e = np.clip(np.arange(n + 2), 0, n)
+        out = np.zeros(n + 1, bool)
+        np.maximum.at(out, e, flags[: n + 2] > 0)
+        if self.prog.nullable:
+            out[:] = True
+        return int(out.sum())

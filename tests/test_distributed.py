@@ -86,3 +86,19 @@ def test_grep_hits(mesh):
     oracle = OracleEngine(prog.nfa)
     for i, r in enumerate(recs):
         assert bool(hits[i]) == oracle.search(r), (i, r)
+
+
+@pytest.mark.parametrize("pattern", ["cat|dog", "ab(cd)+e", "(cat|dog)*"])
+def test_long_string_sharded(mesh, pattern):
+    """One long string sharded over the mesh must match the oracle."""
+    from roaringregex_tpu.ops.longstring import LongScanner
+
+    prog = compile_program(pattern)
+    oracle = OracleEngine(prog.nfa)
+    scanner = DistScanner(prog, mesh)
+    text = (b"xxcatabcdcdcdedogyy" * 40)[:731]
+    # sharded result == single-device block scanner == oracle
+    cnt = scanner.long_count(text, block=32)
+    assert cnt == len(oracle.ends(text)), pattern
+    ls = LongScanner(prog, block=32)
+    assert cnt == ls.count_ends(text)

@@ -1,0 +1,57 @@
+"""Long-string (block-parallel) scan vs oracle.
+
+The associative block-summary scheme must reproduce the oracle's ends()
+and fullmatch() exactly, for every block size (including block sizes that
+straddle match boundaries) and both seeded and anchored conventions.
+"""
+import numpy as np
+import pytest
+
+from roaringregex_tpu.compiler.program import compile_program
+from roaringregex_tpu.ops.longstring import LongScanner
+from roaringregex_tpu.oracle.engine import OracleEngine
+
+PATTERNS = ["cat|dog", "(ab)*c+d?", "a{2,9}", "^ab", "ab$", "(cat|dog)*",
+            "[a-c]+x"]
+
+
+def _texts(rng, n=6, L=200):
+    out = [b"", b"cat", b"catdog" * 20]
+    for _ in range(n):
+        ln = int(rng.integers(1, L))
+        out.append(
+            bytes(rng.choice(list(b"abcdtogx"), size=ln).astype(np.uint8))
+        )
+    return out
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+@pytest.mark.parametrize("block", [16, 64, 1024])
+def test_long_ends_match_oracle(pattern, block):
+    prog = compile_program(pattern)
+    oracle = OracleEngine(prog.nfa)
+    sc = LongScanner(prog, block=block)
+    rng = np.random.default_rng(5)
+    for t in _texts(rng):
+        exp = oracle.ends(t)
+        got = set(np.nonzero(sc.ends_bitmap(t))[0].tolist())
+        assert got == exp, (pattern, block, t[:40])
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_long_fullmatch_match_oracle(pattern):
+    prog = compile_program(pattern)
+    oracle = OracleEngine(prog.nfa)
+    sc = LongScanner(prog, block=32)
+    rng = np.random.default_rng(6)
+    for t in _texts(rng):
+        assert sc.fullmatch(t) == oracle.fullmatch(t), (pattern, t[:40])
+
+
+def test_long_blocks_beat_sequential_equivalence():
+    """A long string whose matches straddle many block boundaries."""
+    prog = compile_program("ab(cd)+e")
+    oracle = OracleEngine(prog.nfa)
+    sc = LongScanner(prog, block=8)  # tiny blocks, matches cross boundaries
+    t = (b"xx" + b"abcdcdcde" * 50)[:401]
+    assert set(np.nonzero(sc.ends_bitmap(t))[0].tolist()) == oracle.ends(t)
