@@ -114,8 +114,6 @@ class DeviceProgram:
     def Bc_words(self) -> Optional[np.ndarray]:
         """[c_pad, W_tile] uint32: per-class symbol mask of one tile,
         bit-packed in lane order (W_tile = ceil(s_tile/32), min 1)."""
-        if self.tier == "sparse":
-            return None
         if getattr(self, "_Bc_words", None) is None:
             wt = max(1, self.s_tile // 32)
             out = np.zeros((self.c_pad, wt), dtype=np.uint64)
@@ -130,8 +128,6 @@ class DeviceProgram:
     def accept_groups(self) -> Optional[np.ndarray]:
         """[lanes, G] uint8: A[l, g] = 1 iff lane l is an accepting state of
         the record in group g (so per-record flags = (v @ A) > 0)."""
-        if self.tier == "sparse":
-            return None
         if getattr(self, "_A", None) is None:
             A = np.zeros((self.lanes, self.G), dtype=np.uint8)
             at = self.accept[: self.s_tile]
@@ -144,13 +140,37 @@ class DeviceProgram:
     @property
     def seed_row(self) -> Optional[np.ndarray]:
         """[lanes] uint8: 1 at each record's initial-state lane (g*s_tile)."""
-        if self.tier == "sparse":
-            return None
         if getattr(self, "_seed", None) is None:
             s = np.zeros(self.lanes, dtype=np.uint8)
             s[:: self.s_tile] = 1
             self._seed = s
         return self._seed
+
+    @property
+    def sparse_partition(self):
+        """Roaring-style container split of the block-sparse follow matrix:
+        (pblocks [np,128,128] uint8, prow [np], pcol [np], U [nb, nb] uint8).
+
+        All-ones blocks ("run containers") go into the map ``U`` and are
+        applied as a rank-1 any-reduce (16384x cheaper than a matmul);
+        partial blocks ("bitmap containers") stay explicit. The analog of
+        CRoaring's run/bitmap container dichotomy (SURVEY.md SS2.2), keyed
+        by static structure so XLA sees fixed shapes."""
+        if getattr(self, "_spart", None) is None:
+            nb = self.s_pad // BLOCK
+            full = self.fblocks.reshape(len(self.fblocks), -1).all(axis=1)
+            U = np.zeros((nb, nb), dtype=np.uint8)
+            U[self.fblock_rows[full], self.fblock_cols[full]] = 1
+            keep = ~full
+            pblocks = self.fblocks[keep]
+            prow = self.fblock_rows[keep]
+            pcol = self.fblock_cols[keep]
+            if len(pblocks) == 0:
+                pblocks = np.zeros((1, BLOCK, BLOCK), np.uint8)
+                prow = np.zeros(1, np.int32)
+                pcol = np.zeros(1, np.int32)
+            self._spart = (pblocks, prow, pcol, U)
+        return self._spart
 
     @property
     def pattern(self) -> str:
@@ -306,21 +326,24 @@ def _block_sparse_follow(
     S x S matrix (S can be thousands; density is what broke the reference's
     roaring tier conceptually -- SS2.12.1)."""
     nb = s_pad // BLOCK
-    blocks: Dict[Tuple[int, int], np.ndarray] = {}
-    for i, fs in enumerate(nfa.get_follow_sets()):
-        bi, ri = divmod(i, BLOCK)
-        for j in fs:
-            bj, rj = divmod(j, BLOCK)
-            blk = blocks.get((bi, bj))
-            if blk is None:
-                blk = blocks[(bi, bj)] = np.zeros((BLOCK, BLOCK), dtype=np.uint8)
-            blk[ri, rj] = 1
-    if not blocks:
+    e = nfa.get_edges()
+    if len(e) == 0:
         # degenerate (e.g. pattern ''); keep one zero block for static shapes
-        blocks[(0, 0)] = np.zeros((BLOCK, BLOCK), dtype=np.uint8)
-    keys = sorted(blocks.keys())
-    fblocks = np.stack([blocks[k] for k in keys])
-    rows = np.array([k[0] for k in keys], dtype=np.int32)
-    cols = np.array([k[1] for k in keys], dtype=np.int32)
+        return (
+            np.zeros((1, BLOCK, BLOCK), np.uint8),
+            np.zeros(1, np.int32),
+            np.zeros(1, np.int32),
+        )
+    key = (e[:, 0] // BLOCK).astype(np.int64) * nb + e[:, 1] // BLOCK
+    order = np.argsort(key, kind="stable")
+    es, ks = e[order], key[order]
+    uniq, starts = np.unique(ks, return_index=True)
+    bounds = np.append(starts, len(es))
+    fblocks = np.zeros((len(uniq), BLOCK, BLOCK), dtype=np.uint8)
+    for n in range(len(uniq)):
+        sub = es[bounds[n] : bounds[n + 1]]
+        fblocks[n, sub[:, 0] % BLOCK, sub[:, 1] % BLOCK] = 1
+    rows = (uniq // nb).astype(np.int32)
+    cols = (uniq % nb).astype(np.int32)
     assert rows.max() < nb and cols.max() < nb
     return fblocks, rows, cols

@@ -109,7 +109,10 @@ def cached_compile(
     Multi-host usage: every worker hashes identically, so a shared cache
     directory yields identical replicated tables with one compile.
     """
-    cache_dir = cache_dir or os.environ.get("RRX_CACHE_DIR")
+    if cache_dir is None:
+        from ..utils.config import get_config
+
+        cache_dir = get_config().cache_dir
     if not cache_dir:
         return compile_program(pattern)
     os.makedirs(cache_dir, exist_ok=True)

@@ -36,32 +36,49 @@ def _default_backend(tier: str) -> str:
     env = os.environ.get("RRX_BACKEND")
     if env:
         return env
-    if tier == "sparse":
-        return "xla"
-    return "pallas" if jax.default_backend() == "tpu" else "packed"
+    if jax.default_backend() == "tpu":
+        return "pallas"  # sparse tier falls back inside if too dense
+    return "xla" if tier == "sparse" else "packed"
 
 
 class ScanEngine:
     """Per-program engine: holds device tables and exposes scan primitives."""
 
     def __init__(self, prog: DeviceProgram, backend: Optional[str] = None):
+        from .utils.config import get_config
+
+        cfg = get_config()
         self.prog = prog
-        self.backend = backend or _default_backend(prog.tier)
-        if self.backend in ("packed", "pallas") and prog.tier == "sparse":
+        self.backend = backend or cfg.backend or _default_backend(prog.tier)
+        if self.backend == "packed" and prog.tier == "sparse":
             self.backend = "xla"
         self.tables = sx.device_tables(prog)
         self.n_runs = len(prog.byte_runs[0])
         self._ptables = None
         self._pallas = None
-        if self.backend in ("packed", "pallas"):
+        if self.backend == "pallas" and prog.tier == "sparse":
+            npart = len(prog.sparse_partition[0])
+            if (
+                npart > cfg.sparse_partial_max
+                or prog.s_pad > cfg.sparse_lanes_max
+            ):
+                self.backend = "xla"  # structure too dense for VMEM
+            else:
+                from .ops import scan_packed as sp
+                from .ops import scan_pallas as spl
+
+                self._sp = sp
+                self._ptables = sp.stream_tables(prog)
+                self._pallas = spl.SparseScanner(prog, self._ptables)
+        elif self.backend in ("packed", "pallas"):
             from .ops import scan_packed as sp
 
             self._sp = sp
             self._ptables = sp.packed_tables(prog)
-        if self.backend == "pallas":
-            from .ops import scan_pallas as spl
+            if self.backend == "pallas":
+                from .ops import scan_pallas as spl
 
-            self._pallas = spl.PallasScanner(prog, self._ptables)
+                self._pallas = spl.PallasScanner(prog, self._ptables)
 
     # ------------------------------------------------------------------
     # Stream encoding

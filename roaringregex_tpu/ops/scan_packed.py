@@ -37,12 +37,8 @@ Tables = Dict[str, jnp.ndarray]
 DTYPE = jnp.bfloat16
 
 
-def packed_tables(prog: DeviceProgram) -> Tables:
-    assert prog.tier != "sparse", "packed engine covers dense tiers only"
-    accept_lanes = (prog.accept_groups.sum(axis=1) > 0).astype(np.uint8)
-    seed_groups = np.zeros((prog.lanes, prog.G), dtype=np.uint8)
-    for g in range(prog.G):
-        seed_groups[g * prog.s_tile, g] = 1
+def stream_tables(prog: DeviceProgram) -> Tables:
+    """Byte->mask translation tables (any tier): run ranges + packed words."""
     lo, hi, cl = prog.byte_runs
     run_words = prog.Bc_words[cl] if len(cl) else np.zeros((0, 1), np.uint32)
     return {
@@ -52,6 +48,18 @@ def packed_tables(prog: DeviceProgram) -> Tables:
         "run_words": jnp.asarray(run_words, jnp.uint32),  # [R, Wt]
         "bos_words": jnp.asarray(prog.Bc_words[prog.bos_class], jnp.uint32),
         "eos_words": jnp.asarray(prog.Bc_words[prog.eos_class], jnp.uint32),
+        "byte_class": jnp.asarray(prog.byte_class, jnp.int32),  # [256]
+    }
+
+
+def packed_tables(prog: DeviceProgram) -> Tables:
+    assert prog.tier != "sparse", "packed engine covers dense tiers only"
+    accept_lanes = (prog.accept_groups.sum(axis=1) > 0).astype(np.uint8)
+    seed_groups = np.zeros((prog.lanes, prog.G), dtype=np.uint8)
+    for g in range(prog.G):
+        seed_groups[g * prog.s_tile, g] = 1
+    t = stream_tables(prog)
+    t.update({
         "F_bd": jnp.asarray(prog.F_bd, DTYPE),  # [L, L]
         "Ft_bd": jnp.asarray(prog.F_bd.T, DTYPE),  # [L, L]
         "A": jnp.asarray(prog.accept_groups, DTYPE),  # [L, G]
@@ -59,8 +67,8 @@ def packed_tables(prog: DeviceProgram) -> Tables:
         "seed_row": jnp.asarray(prog.seed_row, DTYPE),  # [L]
         "seed_groups": jnp.asarray(seed_groups, DTYPE),  # [L, G]
         "Bc_words": jnp.asarray(prog.Bc_words, jnp.uint32),  # [c_pad, Wt]
-        "byte_class": jnp.asarray(prog.byte_class, jnp.int32),  # [256]
-    }
+    })
+    return t
 
 
 # ---------------------------------------------------------------------------

@@ -235,6 +235,214 @@ def _reverse_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Block-sparse kernels (S > 1024: the roaring-container tier)
+#
+# The follow matrix is applied as static per-pattern structure: partial
+# ("bitmap") blocks are explicit 128x128 MXU matmuls; all-ones ("run")
+# blocks reduce to a rank-1 any-reduce through the tiny U map — the TPU
+# translation of CRoaring's run/bitmap container dichotomy (SURVEY.md §2.2).
+# ---------------------------------------------------------------------------
+
+
+def _sparse_expand(v, pbt_ref, ut_ref, bsum_ref, groups, nb, B):
+    """y^T = F^T @ v^T via containers. ``groups[c]`` = ((r, k), ...) static.
+    Returns list of per-col-block boolean f32 accumulators [128, B]."""
+    a = (
+        jnp.dot(bsum_ref[:], v, preferred_element_type=jnp.float32).astype(
+            jnp.float32
+        )
+        > 0
+    ).astype(DTYPE)  # [nb, B] block-any of v
+    fullc = jnp.dot(
+        ut_ref[:], a, preferred_element_type=jnp.float32
+    ).astype(jnp.float32)  # [nb, B]
+    outs = []
+    for c in range(nb):
+        acc = jnp.broadcast_to(fullc[c : c + 1, :], (128, B))
+        for (r, k) in groups[c]:
+            acc = acc + jnp.dot(
+                pbt_ref[k], v[r * 128 : (r + 1) * 128, :],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+        outs.append(acc)
+    return outs
+
+
+def _sparse_match_kernel(
+    len_ref,  # [1, B]
+    stream_ref,  # [T_chunk, W, B]
+    pbt_ref,  # [np, 128, 128] bf16 (transposed partial blocks)
+    ut_ref,  # [nb, nb] bf16 (U^T)
+    bsum_ref,  # [nb, lanes] bf16 (block membership)
+    at_ref,  # [1, lanes] bf16 (accept lanes)
+    seed_ref,  # [lanes, 1]
+    cnt_out,
+    first_out,  # [1, B]
+    v_s,  # [lanes, B] bf16
+    cnt_s,
+    first_s,
+    last_s,  # [1, B] int32
+    *,
+    seeded: bool,
+    nullable: bool,
+    n_seed: int,
+    T_chunk: int,
+    lanes: int,
+    groups,
+):
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    B = v_s.shape[1]
+    nb = lanes // 128
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = seed_col
+        if nullable:
+            if seeded:
+                cnt_s[:] = lens + 1
+                last_s[:] = lens
+            else:
+                cnt_s[:] = jnp.ones_like(lens)
+                last_s[:] = jnp.zeros_like(lens)
+            first_s[:] = jnp.zeros_like(lens)
+        else:
+            cnt_s[:] = jnp.zeros_like(lens)
+            first_s[:] = jnp.full_like(lens, -1)
+            last_s[:] = jnp.full_like(lens, -1)
+
+    def body(t, _):
+        tg = j * T_chunk + t
+        v = v_s[:]
+        if not seeded:
+            v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
+        else:
+            v = jnp.maximum(v, seed_col)
+        bits = _unpack_bits(stream_ref[t], lanes, B)
+        ys = _sparse_expand(v, pbt_ref, ut_ref, bsum_ref, groups, nb, B)
+        fl_acc = jnp.zeros((1, B), jnp.float32)
+        for c in range(nb):
+            v2c = ((ys[c] > 0) & bits[c * 128 : (c + 1) * 128, :]).astype(
+                DTYPE
+            )
+            v_s[c * 128 : (c + 1) * 128, :] = v2c
+            fl_acc = fl_acc + jnp.dot(
+                at_ref[:, c * 128 : (c + 1) * 128], v2c,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+        fl = fl_acc > 0  # [1, B]
+        e = jnp.minimum(tg, lens)
+        if not (nullable and seeded):
+            new = fl & (e != last_s[:])
+            cnt_s[:] = cnt_s[:] + new.astype(jnp.int32)
+        first_s[:] = jnp.where((first_s[:] < 0) & fl, e, first_s[:])
+        last_s[:] = jnp.where(fl, e, last_s[:])
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        cnt_out[:] = cnt_s[:]
+        first_out[:] = first_s[:]
+
+
+def _sparse_flags_kernel(
+    stream_ref,
+    pbt_ref,
+    ut_ref,
+    bsum_ref,
+    at_ref,
+    seed_ref,
+    flags_out,  # [T_chunk, 1, B] int8
+    v_s,
+    *,
+    seeded: bool,
+    n_seed: int,
+    T_chunk: int,
+    lanes: int,
+    groups,
+):
+    j = pl.program_id(1)
+    B = v_s.shape[1]
+    nb = lanes // 128
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = seed_col
+
+    def body(t, _):
+        tg = j * T_chunk + t
+        v = v_s[:]
+        if not seeded:
+            v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
+        else:
+            v = jnp.maximum(v, seed_col)
+        bits = _unpack_bits(stream_ref[t], lanes, B)
+        ys = _sparse_expand(v, pbt_ref, ut_ref, bsum_ref, groups, nb, B)
+        fl_acc = jnp.zeros((1, B), jnp.float32)
+        for c in range(nb):
+            v2c = ((ys[c] > 0) & bits[c * 128 : (c + 1) * 128, :]).astype(
+                DTYPE
+            )
+            v_s[c * 128 : (c + 1) * 128, :] = v2c
+            fl_acc = fl_acc + jnp.dot(
+                at_ref[:, c * 128 : (c + 1) * 128], v2c,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+        flags_out[t] = (fl_acc > 0).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+
+def _sparse_reverse_kernel(
+    stream_ref,
+    pb_ref,  # [np, 128, 128] bf16 (UNtransposed blocks: Rn^T = F @ m^T)
+    u_ref,  # [nb, nb] bf16 (U, untransposed)
+    bsum_ref,
+    sg_ref,  # [1, lanes] (initial-state lanes)
+    acc_ref,  # [lanes, 1]
+    hits_out,  # [T_chunk, 1, B] int8
+    r_s,
+    *,
+    T_chunk: int,
+    lanes: int,
+    rgroups,  # rgroups[r] = ((c, k), ...): blocks contributing to row-block r
+):
+    j = pl.program_id(1)
+    B = r_s.shape[1]
+    nb = lanes // 128
+    acc_col = jnp.broadcast_to(acc_ref[:], (lanes, B)).astype(DTYPE)
+
+    @pl.when(j == 0)
+    def _init():
+        r_s[:] = jnp.zeros((lanes, B), DTYPE)
+
+    def body(t, _):
+        tr = T_chunk - 1 - t
+        R = jnp.maximum(r_s[:], acc_col)
+        bits = _unpack_bits(stream_ref[tr], lanes, B)
+        masked = ((R.astype(jnp.float32) > 0) & bits).astype(DTYPE)
+        ys = _sparse_expand(masked, pb_ref, u_ref, bsum_ref, rgroups, nb, B)
+        hit_acc = jnp.zeros((1, B), jnp.float32)
+        for r in range(nb):
+            rnc = (ys[r] > 0).astype(DTYPE)
+            r_s[r * 128 : (r + 1) * 128, :] = rnc
+            hit_acc = hit_acc + jnp.dot(
+                sg_ref[:, r * 128 : (r + 1) * 128], rnc,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+        hits_out[tr] = (hit_acc > 0).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+
+# ---------------------------------------------------------------------------
 # Host-side wrapper
 # ---------------------------------------------------------------------------
 
@@ -259,10 +467,14 @@ class PallasScanner:
     def _blk_limits(self, b_blk_max: int) -> Tuple[int, int]:
         """(B_blk_cap, T_chunk_cap) scaled so a stream block fits the VMEM
         budget at this tier's lane width (W words per row-step)."""
+        from ..utils.config import get_config
+
+        cfg = get_config()
+        b_blk_max = min(b_blk_max, cfg.b_blk_max)
         if self.lanes > 256:
             b_blk_max = min(b_blk_max, 512 if self.lanes <= 512 else 256)
         t_cap = STREAM_VMEM_BUDGET // (self.W * b_blk_max * 4)
-        t_cap = max(8, min(T_CHUNK_MAX, _pow2_floor(t_cap)))
+        t_cap = max(8, min(cfg.t_chunk_max, T_CHUNK_MAX, _pow2_floor(t_cap)))
         return b_blk_max, t_cap
 
     def kernel_stream(
@@ -430,3 +642,186 @@ class PallasScanner:
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
             interpret=_interpret(),
         )(stream, self.f, self.sg, self.acc)
+
+
+class SparseScanner(PallasScanner):
+    """Block-sparse (roaring-container) scanner for S > 1024.
+
+    Reuses the PallasScanner stream wrappers; only the pallas_call bodies
+    differ — static per-pattern container structure is baked into the
+    kernel (partial-block matmul list + full-block U map)."""
+
+    def __init__(self, prog: DeviceProgram, ptables: Dict[str, jnp.ndarray]):
+        # bypass PallasScanner.__init__ (it requires dense F_bd)
+        self.prog = prog
+        self.lanes = prog.s_pad
+        self.G = 1
+        self.W = self.lanes // 32
+        nb = self.lanes // 128
+        pb, prow, pcol, U = prog.sparse_partition
+        self.pb = jnp.asarray(pb, DTYPE)
+        self.pbt = jnp.asarray(pb.transpose(0, 2, 1), DTYPE)
+        self.u = jnp.asarray(U, DTYPE)
+        self.ut = jnp.asarray(U.T, DTYPE)
+        bsum = np.zeros((nb, self.lanes), np.uint8)
+        for b in range(nb):
+            bsum[b, b * 128 : (b + 1) * 128] = 1
+        self.bsum = jnp.asarray(bsum, DTYPE)
+        acc = np.zeros(self.lanes, np.uint8)
+        acc[: len(prog.accept)] = prog.accept
+        self.at1 = jnp.asarray(acc[None, :], DTYPE)
+        sg = np.zeros((1, self.lanes), np.uint8)
+        sg[0, 0] = 1
+        self.sg1 = jnp.asarray(sg, DTYPE)
+        seed = np.zeros((self.lanes, 1), np.uint8)
+        seed[0, 0] = 1
+        self.seed = jnp.asarray(seed, DTYPE)
+        self.acc_col = jnp.asarray(acc[:, None], DTYPE)
+        # static container structure
+        groups = [[] for _ in range(nb)]
+        rgroups = [[] for _ in range(nb)]
+        for k in range(len(prow)):
+            r, c = int(prow[k]), int(pcol[k])
+            groups[c].append((r, k))
+            rgroups[r].append((c, k))
+        self.groups = tuple(tuple(g) for g in groups)
+        self.rgroups = tuple(tuple(g) for g in rgroups)
+
+    @property
+    def n_partial(self) -> int:
+        return int(self.pb.shape[0])
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _match_call(self, stream, lenT, seeded, T_pad, B_pad, B_blk, T_chunk):
+        lanes, W = self.lanes, self.W
+        nb_, nT = B_pad // B_blk, T_pad // T_chunk
+        npart = self.pb.shape[0]
+        nbk = lanes // 128
+        kernel = functools.partial(
+            _sparse_match_kernel,
+            seeded=seeded,
+            nullable=self.prog.nullable,
+            n_seed=2,
+            T_chunk=T_chunk,
+            lanes=lanes,
+            groups=self.groups,
+        )
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec((1, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        cnt, first = pl.pallas_call(
+            kernel,
+            grid=(nb_, nT),
+            in_specs=[
+                pl.BlockSpec((1, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (T_chunk, W, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                ),
+                full((npart, 128, 128)),
+                full((nbk, nbk)),
+                full((nbk, lanes)),
+                full((1, lanes)),
+                full((lanes, 1)),
+            ],
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, B_pad), jnp.int32),
+                jax.ShapeDtypeStruct((1, B_pad), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, B_blk), DTYPE),
+                pltpu.VMEM((1, B_blk), jnp.int32),
+                pltpu.VMEM((1, B_blk), jnp.int32),
+                pltpu.VMEM((1, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(lenT, stream, self.pbt, self.ut, self.bsum, self.at1, self.seed)
+        return cnt, first
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _flags_call(self, stream, seeded, T_pad, B_pad, B_blk, T_chunk):
+        lanes, W = self.lanes, self.W
+        nb_, nT = B_pad // B_blk, T_pad // T_chunk
+        npart = self.pb.shape[0]
+        nbk = lanes // 128
+        kernel = functools.partial(
+            _sparse_flags_kernel,
+            seeded=seeded,
+            n_seed=2,
+            T_chunk=T_chunk,
+            lanes=lanes,
+            groups=self.groups,
+        )
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nb_, nT),
+            in_specs=[
+                pl.BlockSpec(
+                    (T_chunk, W, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                ),
+                full((npart, 128, 128)),
+                full((nbk, nbk)),
+                full((nbk, lanes)),
+                full((1, lanes)),
+                full((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, 1, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, 1, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(stream, self.pbt, self.ut, self.bsum, self.at1, self.seed)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _reverse_call(self, stream, T_pad, B_pad, B_blk, T_chunk):
+        lanes, W = self.lanes, self.W
+        nb_, nT = B_pad // B_blk, T_pad // T_chunk
+        npart = self.pb.shape[0]
+        nbk = lanes // 128
+        kernel = functools.partial(
+            _sparse_reverse_kernel,
+            T_chunk=T_chunk,
+            lanes=lanes,
+            rgroups=self.rgroups,
+        )
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nb_, nT),
+            in_specs=[
+                pl.BlockSpec(
+                    (T_chunk, W, B_blk),
+                    lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                full((npart, 128, 128)),
+                full((nbk, nbk)),
+                full((nbk, lanes)),
+                full((1, lanes)),
+                full((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, 1, B_blk),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, 1, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(stream, self.pb, self.u, self.bsum, self.sg1, self.acc_col)

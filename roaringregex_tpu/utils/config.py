@@ -1,0 +1,64 @@
+"""Framework configuration (SURVEY.md §5 "config/flag system" row).
+
+The reference hard-codes every constant (tier cut-offs Parser.cpp:165-168,
+0x80 alphabet bound NFA.cc:25, arena rows regex.h:34) and its README
+complains they aren't tweakable (README.md:57). Here the knobs live in one
+dataclass, overridable programmatically (``set_config``) or via environment
+variables (``RRX_*``) so multi-host launches configure workers uniformly.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+@dataclass(frozen=True)
+class RrxConfig:
+    # backend: None = auto (pallas on TPU, packed elsewhere, xla fallback)
+    backend: Optional[str] = field(
+        default_factory=lambda: os.environ.get("RRX_BACKEND") or None
+    )
+    # compiled-program cache directory (content-addressed .npz)
+    cache_dir: Optional[str] = field(
+        default_factory=lambda: os.environ.get("RRX_CACHE_DIR") or None
+    )
+    # largest state count with fully dense device tables (tier cut-off)
+    dense_max: int = field(default_factory=lambda: _env_int("RRX_DENSE_MAX", 1024))
+    # kernel geometry caps (scan_pallas)
+    b_blk_max: int = field(default_factory=lambda: _env_int("RRX_B_BLK", 2048))
+    t_chunk_max: int = field(default_factory=lambda: _env_int("RRX_T_CHUNK", 128))
+    # long-string mode block length
+    long_block: int = field(default_factory=lambda: _env_int("RRX_LONG_BLOCK", 4096))
+    # sparse-tier VMEM caps (partial containers / lane width)
+    sparse_partial_max: int = field(
+        default_factory=lambda: _env_int("RRX_SPARSE_PARTIAL_MAX", 120)
+    )
+    sparse_lanes_max: int = field(
+        default_factory=lambda: _env_int("RRX_SPARSE_LANES_MAX", 4096)
+    )
+    # native host runtime (C++ compiler/packer) on/off
+    native: bool = field(
+        default_factory=lambda: os.environ.get("RRX_NATIVE", "1") != "0"
+    )
+
+    def with_(self, **kw) -> "RrxConfig":
+        return replace(self, **kw)
+
+
+_config: RrxConfig = RrxConfig()
+
+
+def get_config() -> RrxConfig:
+    return _config
+
+
+def set_config(cfg: RrxConfig) -> RrxConfig:
+    global _config
+    _config = cfg
+    return _config
