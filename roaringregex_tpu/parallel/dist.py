@@ -75,6 +75,11 @@ class DistScanner:
         self.n_runs = len(prog.byte_runs[0])
         self.dense = prog.tier != "sparse"
         tables = spk.packed_tables(prog) if self.dense else sx.device_tables(prog)
+        self._plk = None
+        if self.dense and jax.default_backend() == "tpu":
+            from ..ops import scan_pallas as spl
+
+            self._plk = spl.PallasScanner(prog, tables)
         # replicate tables on every chip (broadcast once, like the
         # "transition tables replicated" requirement of BASELINE config 5)
         rep = NamedSharding(mesh, P())
@@ -97,12 +102,17 @@ class DistScanner:
             len_g = l.reshape(-1, G)
             words = spk.mask_stream_from_bytes(
                 tables, d, len_g, s_tile=prog.s_tile, G=prog.G,
-                n_runs=self.n_runs,
+                n_runs=self.n_runs, kernel_layout=self._plk is not None,
             )
-            cnt, first, anym = spk.match_stats(
-                tables, words, len_g, seeded=seeded,
-                nullable=prog.nullable, lanes=prog.lanes,
-            )
+            if self._plk is not None:
+                cnt, first, anym = self._plk.match_stats(
+                    words, len_g, seeded=seeded, layout="kernel"
+                )
+            else:
+                cnt, first, anym = spk.match_stats(
+                    tables, words, len_g, seeded=seeded,
+                    nullable=prog.nullable, lanes=prog.lanes,
+                )
             B = cnt.shape[0] * cnt.shape[1]
             return (
                 cnt.reshape(B)[:B0],
