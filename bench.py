@@ -110,7 +110,51 @@ CONFIGS = {
     4: dict(pattern="a{1,300}", rec_len=1024, name="bounded-rep multiblock tier"),
     5: dict(pattern="cat|dog", rec_len=1024, name="sharded-corpus grep (mesh)",
             sharded=True),
+    6: dict(pattern=["cat|dog", "[0-9]{3}", "err(or)?", "ab(cd)*e"],
+            rec_len=1024, name="multi-pattern grep (4 patterns, 1 pass)",
+            multi=True),
 }
+
+
+def bench_multi(patterns, data, lengths, *, iters: int = 4, pipeline: int = 16):
+    """Config 6: P patterns in one combined-automaton pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from roaringregex_tpu.api import MultiPattern
+
+    if jax.default_backend() != "tpu":
+        pipeline = 2
+    mp = MultiPattern(patterns)
+    prog = mp.program
+    G = max(1, prog.G)
+    B = data.shape[0]
+    Bp = ((B + G - 1) // G) * G
+    if Bp != B:
+        data = np.concatenate([data, np.zeros((Bp - B, data.shape[1]), np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(Bp - B, np.int32)])
+    d = jax.device_put(jnp.asarray(data))
+    l = jax.device_put(jnp.asarray(lengths))
+
+    def run(d, l):
+        cnt, first, anym = mp.engine.match_stats(d, l, seeded=True)
+        return jnp.sum(cnt), jnp.sum(anym.astype(jnp.int32))
+
+    run = jax.jit(run)
+    t0 = time.perf_counter()
+    total, nch = jax.block_until_ready(run(d, l))
+    log(f"  [multi x{len(patterns)} tier={prog.tier} S={prog.n_states} "
+        f"G={prog.G} backend={mp.engine.backend}] compile+first: "
+        f"{time.perf_counter()-t0:.1f}s, matches={int(total)}")
+    nbytes = int(lengths.sum())
+    best = 0.0
+    for _ in range(max(1, iters // 2)):
+        t0 = time.perf_counter()
+        outs = [run(d, l) for _ in range(pipeline)]
+        jax.block_until_ready(outs)
+        t = (time.perf_counter() - t0) / pipeline
+        best = max(best, nbytes / t)
+    return best, int(total)
 
 
 def bench_sharded(pattern: str, data, lengths, *, iters: int = 4,
@@ -169,6 +213,8 @@ def main():
         data, lengths = make_corpus(total_bytes, cfg["rec_len"])
         if cfg.get("sharded"):
             bps, total = bench_sharded(cfg["pattern"], data, lengths)
+        elif cfg.get("multi"):
+            bps, total = bench_multi(cfg["pattern"], data, lengths)
         else:
             bps, total = bench_scan(cfg["pattern"], data, lengths)
         results[ci] = bps

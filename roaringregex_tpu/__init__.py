@@ -16,7 +16,7 @@ See SURVEY.md for the structural analysis of the reference and BASELINE.md
 for performance targets.
 """
 
-from .api import Match, Pattern, compile  # noqa: F401
+from .api import Match, MultiPattern, Pattern, compile  # noqa: F401
 from .compiler.nfa import NFA, build_nfa  # noqa: F401
 from .compiler.program import DeviceProgram, compile_program  # noqa: F401
 from .compiler.parser import RegexSyntaxError, parse  # noqa: F401

@@ -232,3 +232,99 @@ class Pattern:
 def compile(pattern: str, backend: Optional[str] = None) -> Pattern:  # noqa: A001
     """Compile (with caching) a POSIX-ERE pattern."""
     return Pattern(pattern, backend=backend)
+
+
+class MultiPattern:
+    """Several patterns compiled into ONE automaton, scanned in one pass.
+
+    The Glushkov union shares the start state but keeps each pattern's
+    positions disjoint, so a single device scan tracks per-pattern accept
+    channels — the multi-pattern grep of BASELINE config 5 without P
+    separate passes. Per-record-per-pattern stats come out of the same
+    kernels by widening the accept map from [lanes, G] to [lanes, G*P].
+
+    Falls back to per-pattern scans on the sparse tier or non-packed
+    backends (kept simple; the combined automaton usually stays dense).
+    """
+
+    def __init__(self, patterns: Sequence[str], backend: Optional[str] = None):
+        from .compiler.nfa import build_nfa, combine_nfas
+
+        self.patterns = [str(p) for p in patterns]
+        if not self.patterns:
+            raise ValueError("no patterns")
+        self.P = len(self.patterns)
+        nfas = [build_nfa(p) for p in self.patterns]
+        self.nullables = np.array([n.nullable for n in nfas])
+        combined, accepts = combine_nfas(nfas)
+        self.program = compile_program(combined)
+        self._singles: Optional[List[Pattern]] = None
+        self.engine = ScanEngine(self.program, backend=backend)
+        if self.program.tier == "sparse" or self.engine._ptables is None:
+            self._singles = [Pattern(p, backend=backend) for p in self.patterns]
+            return
+        # widen the accept map to G*P channels (channel = g*P + p)
+        prog = self.program
+        P, s_tile, G, lanes = self.P, prog.s_tile, prog.G, prog.lanes
+        acc_tile = np.zeros((P, s_tile), np.uint8)
+        for p, aset in enumerate(accepts):
+            for st in aset:
+                if st > 0:  # state 0 handled via nullable correction
+                    acc_tile[p, st] = 1
+        A = np.zeros((lanes, G * P), np.uint8)
+        for g in range(G):
+            for p in range(P):
+                A[g * s_tile : (g + 1) * s_tile, g * P + p] = acc_tile[p]
+        import jax.numpy as jnp
+
+        eng = self.engine
+        eng._nullable = False  # nullable channels corrected below
+        eng._ptables = dict(eng._ptables)
+        eng._ptables["A"] = jnp.asarray(A, jnp.bfloat16)
+        eng._len_channels = lambda lengths: jnp.repeat(
+            jnp.asarray(lengths).reshape(-1, G), P, axis=1
+        )
+        if eng._pallas is not None:
+            eng._pallas.nullable = False
+            eng._pallas.at = jnp.asarray(A.T, jnp.bfloat16)
+            eng._pallas.G = G * P
+
+    # ------------------------------------------------------------------
+    def _pack(self, texts: Sequence[TextLike]):
+        bs = [_as_bytes(t) for t in texts]
+        B = len(bs)
+        maxlen = max((len(b) for b in bs), default=0)
+        Bp = _pow2(B, lo=max(8, self.program.G))
+        Lp = _pow2(max(maxlen, 1), lo=16)
+        data = np.zeros((Bp, Lp), dtype=np.uint8)
+        lengths = np.zeros(Bp, dtype=np.int32)
+        for i, b in enumerate(bs):
+            data[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            lengths[i] = len(b)
+        return data, lengths, B
+
+    def count_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
+        """[B, P] distinct match-end counts per record per pattern."""
+        if self._singles is not None:
+            return np.stack(
+                [p.count_batch(texts) for p in self._singles], axis=1
+            )
+        data, lengths, B = self._pack(texts)
+        cnt, first, anym = self.engine.match_stats(data, lengths, seeded=True)
+        cnt = np.asarray(cnt).reshape(-1, self.P)[:B]
+        # nullable channels: empty match ends at every position
+        if self.nullables.any():
+            ln = lengths[:B, None]
+            cnt = np.where(self.nullables[None, :], ln + 1, cnt)
+        return cnt
+
+    def search_batch(self, texts: Sequence[TextLike]) -> np.ndarray:
+        """[B, P] bool: record contains a match of pattern p."""
+        if self._singles is not None:
+            return np.stack(
+                [p.search_batch(texts) for p in self._singles], axis=1
+            )
+        return self.count_batch(texts) > 0
+
+    def grep(self, texts: Sequence[TextLike]) -> np.ndarray:
+        return self.search_batch(texts)

@@ -54,6 +54,9 @@ class ScanEngine:
             self.backend = "xla"
         self.tables = sx.device_tables(prog)
         self.n_runs = len(prog.byte_runs[0])
+        # kernel-level nullability (MultiPattern scans override this and
+        # correct nullable channels host-side)
+        self._nullable = prog.nullable
         self._ptables = None
         self._pallas = None
         if self.backend == "pallas" and prog.tier == "sparse":
@@ -121,6 +124,10 @@ class ScanEngine:
     def _len_g(self, lengths: jnp.ndarray) -> jnp.ndarray:
         return jnp.asarray(lengths).reshape(-1, self.prog.G)
 
+    def _len_channels(self, lengths: jnp.ndarray) -> jnp.ndarray:
+        """Per-accept-channel lengths (== per record unless multi-pattern)."""
+        return self._len_g(lengths)
+
     # ------------------------------------------------------------------
     # Primitives (all take/return device arrays)
     # ------------------------------------------------------------------
@@ -138,21 +145,23 @@ class ScanEngine:
         return sx.forward_flags(self.tables, cls, seeded=seeded, n_seed_steps=2)
 
     def match_stats(self, data, lengths, *, seeded: bool):
-        """(count, first_end, any) per record, each [B]."""
+        """(count, first_end, any) per accept channel (== per record unless
+        multi-pattern), each flattened to [B * channels_per_record]."""
         if self._ptables is not None:
             kernel = self._pallas is not None
-            words, len_g = self._words(data, lengths, kernel_layout=kernel)
+            words, _ = self._words(data, lengths, kernel_layout=kernel)
+            len_c = self._len_channels(lengths)
             if kernel:
                 cnt, first, anym = self._pallas.match_stats(
-                    words, len_g, seeded=seeded, layout="kernel"
+                    words, len_c, seeded=seeded, layout="kernel"
                 )
             else:
                 cnt, first, anym = self._sp.match_stats(
                     self._ptables,
                     words,
-                    len_g,
+                    len_c,
                     seeded=seeded,
-                    nullable=self.prog.nullable,
+                    nullable=self._nullable,
                     lanes=self.prog.lanes,
                 )
             B = cnt.shape[0] * cnt.shape[1]

@@ -453,6 +453,7 @@ class PallasScanner:
     def __init__(self, prog: DeviceProgram, ptables: Dict[str, jnp.ndarray]):
         assert prog.tier != "sparse"
         self.prog = prog
+        self.nullable = prog.nullable
         self.lanes = prog.lanes
         self.G = prog.G
         self.W = prog.lanes // 32
@@ -530,7 +531,7 @@ class PallasScanner:
         kernel = functools.partial(
             _match_kernel,
             seeded=seeded,
-            nullable=self.prog.nullable,
+            nullable=self.nullable,
             n_seed=2,
             T_chunk=T_chunk,
             lanes=lanes,
@@ -654,6 +655,7 @@ class SparseScanner(PallasScanner):
     def __init__(self, prog: DeviceProgram, ptables: Dict[str, jnp.ndarray]):
         # bypass PallasScanner.__init__ (it requires dense F_bd)
         self.prog = prog
+        self.nullable = prog.nullable
         self.lanes = prog.s_pad
         self.G = 1
         self.W = self.lanes // 32
@@ -703,7 +705,7 @@ class SparseScanner(PallasScanner):
         kernel = functools.partial(
             _sparse_match_kernel,
             seeded=seeded,
-            nullable=self.prog.nullable,
+            nullable=self.nullable,
             n_seed=2,
             T_chunk=T_chunk,
             lanes=lanes,
