@@ -186,6 +186,26 @@ class ScanEngine:
         return sx.reverse_hits(self.tables, cls)
 
     def first_end_from(self, data, lengths, starts) -> jnp.ndarray:
+        """Smallest end of an anchored match per record (-1 = none); the
+        rescan primitive of lazy span extraction."""
+        if self._ptables is not None and self.prog.tier != "sparse":
+            kernel = self._pallas is not None
+            words, len_g = self._words(data, lengths, kernel_layout=kernel)
+            starts_g = jnp.asarray(starts).reshape(-1, self.prog.G)
+            if kernel:
+                first = self._pallas.first_end_from(
+                    words, len_g, starts_g, layout="kernel"
+                )
+            else:
+                first = self._sp.first_end_from(
+                    self._ptables,
+                    words,
+                    len_g,
+                    starts_g,
+                    lanes=self.prog.lanes,
+                    s_tile=self.prog.s_tile,
+                )
+            return first.reshape(-1)
         cls = self.encode(data, lengths)
         return sx.first_end_from(
             self.tables, cls, jnp.asarray(lengths), jnp.asarray(starts)

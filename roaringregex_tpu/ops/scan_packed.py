@@ -371,3 +371,41 @@ def reverse_hits(
     _, hits_rev = jax.lax.scan(body, R0, words[::-1])
     hits = hits_rev[::-1]  # [T, B_rows, G]
     return hits.transpose(1, 2, 0).reshape(B_rows * G, T)
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "s_tile"))
+def first_end_from(
+    tables: Tables,
+    words: jnp.ndarray,  # [T, B_rows, W] mask stream
+    len_g: jnp.ndarray,  # [B_rows, G]
+    starts_g: jnp.ndarray,  # [B_rows, G] per-record match start; -1 inactive
+    *,
+    lanes: int,
+    s_tile: int,
+) -> jnp.ndarray:
+    """Smallest end e with text[s:e] matching, per record (packed analog of
+    scan_xla.first_end_from; the anchored rescan of span extraction)."""
+    T, B_rows, W = words.shape
+    G = len_g.shape[1]
+    v0 = jnp.zeros((B_rows, lanes), DTYPE)
+    first0 = jnp.full((B_rows, G), -1, jnp.int32)
+    seed = tables["seed_row"]
+
+    def body(carry, xs):
+        v, first = carry
+        words_t, t = xs
+        gate = ((starts_g == t - 1) | ((starts_g == 0) & (t <= 1))) & (
+            starts_g >= 0
+        )  # [B_rows, G]
+        gl = jnp.repeat(gate, s_tile, axis=1).astype(DTYPE)  # [B_rows, lanes]
+        v = jnp.maximum(v, gl * seed[None, :])
+        y = jnp.dot(v, tables["F_bd"], preferred_element_type=jnp.float32)
+        v2 = ((y > 0) & unpack_bits(words_t, lanes)).astype(DTYPE)
+        fl = jnp.dot(v2, tables["A"], preferred_element_type=jnp.float32) > 0
+        e = jnp.clip(t, 0, len_g)
+        ok = fl & (e >= starts_g) & (first < 0)
+        first = jnp.where(ok, e, first)
+        return (v2, first), None
+
+    (_, first), _ = jax.lax.scan(body, (v0, first0), (words, jnp.arange(T)))
+    return first

@@ -827,3 +827,130 @@ class SparseScanner(PallasScanner):
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
             interpret=_interpret(),
         )(stream, self.pb, self.u, self.bsum, self.sg1, self.acc_col)
+
+
+def _first_end_kernel(
+    len_ref,  # [G, B] int32
+    starts_ref,  # [G, B] int32
+    stream_ref,  # [T_chunk, W, B] uint32
+    ft_ref,  # [lanes, lanes]
+    at_ref,  # [G, lanes]
+    seed_ref,  # [lanes, 1]
+    first_out,  # [G, B] int32
+    v_s,  # [lanes, B] bf16
+    first_s,  # [G, B] int32
+    *,
+    T_chunk: int,
+    lanes: int,
+    s_tile: int,
+):
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    B = v_s.shape[1]
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+    starts = starts_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((lanes, B), DTYPE)
+        first_s[:] = jnp.full((first_s.shape[0], B), -1, jnp.int32)
+
+    def body(t, _):
+        tg = j * T_chunk + t
+        gate = ((starts == tg - 1) | ((starts == 0) & (tg <= 1))) & (
+            starts >= 0
+        )  # [G, B]
+        G_ = gate.shape[0]
+        gl = jnp.broadcast_to(
+            gate.astype(DTYPE)[:, None, :], (G_, s_tile, B)
+        ).reshape(lanes, B)
+        v = jnp.maximum(v_s[:], gl * seed_col)
+        y = jnp.dot(
+            ft_ref[:], v, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+        bits = _unpack_bits(stream_ref[t], lanes, B)
+        v2 = ((y > 0) & bits).astype(DTYPE)
+        v_s[:] = v2
+        fl = (
+            jnp.dot(at_ref[:], v2, preferred_element_type=jnp.float32).astype(
+                jnp.float32
+            )
+            > 0
+        )
+        e = jnp.minimum(tg, lens)
+        ok = fl & (e >= starts) & (first_s[:] < 0)
+        first_s[:] = jnp.where(ok, e, first_s[:])
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        first_out[:] = first_s[:]
+
+
+def _add_first_end(cls):
+    """Attach the anchored-rescan entry point to PallasScanner."""
+
+    def first_end_from(self, words, len_g, starts_g, *, layout: str = "kernel"):
+        T = words.shape[0]
+        B_rows = len_g.shape[0]
+        stream = self.kernel_stream(words, layout)
+        T_pad, W, B_pad = stream.shape
+        B_blk, T_chunk = self._geom(T_pad, B_pad)
+        lenT = jnp.pad(
+            jnp.transpose(jnp.asarray(len_g), (1, 0)),
+            ((0, 0), (0, B_pad - B_rows)),
+        )
+        startsT = jnp.pad(
+            jnp.transpose(jnp.asarray(starts_g), (1, 0)),
+            ((0, 0), (0, B_pad - B_rows)),
+            constant_values=-1,
+        )
+        first = self._first_end_call(
+            stream, lenT, startsT, T_pad, B_pad, B_blk, T_chunk
+        )
+        return jnp.transpose(first[:, :B_rows], (1, 0))
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _first_end_call(self, stream, lenT, startsT, T_pad, B_pad, B_blk, T_chunk):
+        G, lanes, W = self.G, self.lanes, self.W
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _first_end_kernel,
+            T_chunk=T_chunk,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+        )
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                gspec,
+                pl.BlockSpec(
+                    (T_chunk, W, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((lanes, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lanes, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=gspec,
+            out_shape=jax.ShapeDtypeStruct((G, B_pad), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, B_blk), DTYPE),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(lenT, startsT, stream, self.ft, self.at, self.seed)
+
+    cls.first_end_from = first_end_from
+    cls._first_end_call = _first_end_call
+
+
+_add_first_end(PallasScanner)
