@@ -29,7 +29,7 @@ the reference truncates ids to uint8, breaking its own >256-state tier).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Set, Tuple
+from typing import List, Optional, Set, Tuple
 
 import numpy as np
 

@@ -22,13 +22,13 @@ The engine owns device table placement and the jit caches; the API layer
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .compiler.program import DeviceProgram, compile_program
+from .compiler.program import DeviceProgram
 from .ops import scan_xla as sx
 
 

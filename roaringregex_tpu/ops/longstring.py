@@ -31,7 +31,7 @@ the tiny [nb, S, S] summary tensor crossing chips.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
