@@ -66,8 +66,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="rrx", description="TPU-native POSIX-ERE grep"
     )
-    ap.add_argument("pattern")
+    ap.add_argument("pattern", nargs="?")
     ap.add_argument("files", nargs="*")
+    ap.add_argument(
+        "-e", "--regexp", action="append", default=[],
+        help="pattern (repeatable; multiple patterns scan in ONE pass)",
+    )
     ap.add_argument("-c", "--count", action="store_true")
     ap.add_argument("-n", "--line-number", action="store_true")
     ap.add_argument("-o", "--only-spans", action="store_true")
@@ -86,12 +90,30 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    from .api import Pattern
+    from .api import MultiPattern, Pattern
     from .compiler.parser import RegexSyntaxError
 
+    patterns = list(args.regexp)
+    if args.pattern is not None:
+        if patterns:
+            args.files = [args.pattern] + args.files  # pattern slot is a file
+        else:
+            patterns = [args.pattern]
+    if not patterns:
+        print("rrx: no pattern given (use PATTERN or -e)", file=sys.stderr)
+        return 2
+    if len(patterns) > 1 and (args.only_spans or args.fullmatch or args.dump):
+        print("rrx: -o/--fullmatch/--dump take a single pattern", file=sys.stderr)
+        return 2
+
     t0 = time.perf_counter()
+    multi = None
     try:
-        pat = Pattern(args.pattern, backend=args.backend)
+        if len(patterns) > 1:
+            multi = MultiPattern(patterns, backend=args.backend)
+            pat = None
+        else:
+            pat = Pattern(patterns[0], backend=args.backend)
     except RegexSyntaxError as e:
         print(f"rrx: invalid pattern: {e}", file=sys.stderr)
         return 2
@@ -105,13 +127,20 @@ def main(argv=None) -> int:
     n_bytes = 0
     many_files = len(args.files) > 1
     counts_only = args.count
+    prog = (multi or pat).program
     for src, buf in _read_buffers(args.files):
-        data, lengths, B = pack_buffer(buf, pat.program.G)
+        data, lengths, B = pack_buffer(buf, prog.G)
         n_lines += B
         n_bytes += int(lengths[:B].sum())
         if B == 0:
             continue
-        if args.fullmatch:
+        if multi is not None:
+            _, _, anym = multi.engine.match_stats(data, lengths, seeded=True)
+            per = np.asarray(anym).reshape(-1, multi.P)[:B]
+            if multi.nullables.any():
+                per = per | multi.nullables[None, :]
+            hits = per.any(axis=1)
+        elif args.fullmatch:
             hits = pat.engine.fullmatch_flags(data, lengths)[:B]
         else:
             _, _, anym = pat.engine.match_stats(data, lengths, seeded=True)
@@ -146,7 +175,7 @@ def main(argv=None) -> int:
         print(
             f"rrx: {n_match}/{n_lines} lines matched, {n_bytes} bytes, "
             f"{dt*1e3:.1f} ms ({n_bytes/max(dt,1e-9)/1e6:.1f} MB/s), "
-            f"tier={pat.tier} backend={pat.engine.backend}",
+            f"tier={prog.tier} backend={(multi or pat).engine.backend}",
             file=sys.stderr,
         )
     return 0 if n_match > 0 else 1

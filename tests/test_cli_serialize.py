@@ -151,3 +151,18 @@ def test_cli_subprocess_smoke():
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert r.stdout.strip() == b"2"
+
+
+def test_cli_multi_pattern():
+    code, out, _ = _run_cli(["-e", "error", "-e", "good"], LINES)
+    assert out.splitlines() == [
+        "error: disk full", "all good", "another error here"
+    ]
+    code, out, _ = _run_cli(["-c", "-e", "caps", "-e", "zzz"], LINES)
+    assert out.strip() == "1"
+    # -o with multiple patterns is rejected cleanly
+    code, _, err = _run_cli(["-o", "-e", "a", "-e", "b"], LINES)
+    assert code == 2 and "single pattern" in err
+    # no pattern at all
+    code, _, err = _run_cli([], LINES)
+    assert code == 2 and "no pattern" in err

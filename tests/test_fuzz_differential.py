@@ -1,0 +1,90 @@
+"""Differential fuzz: random patterns x random texts, all engines vs oracle.
+
+The broad safety net on top of the per-tier parity suites: generates
+syntactically valid patterns across the feature grid (SURVEY.md §7.4),
+compiles through the production path (native compiler when built), and
+checks fullmatch / search / count / spans for every backend against the
+oracle, plus Python ``re`` on the shared-semantics subset.
+"""
+import re
+
+import numpy as np
+import pytest
+
+import roaringregex_tpu as rrx
+from roaringregex_tpu.oracle.engine import OracleEngine
+
+ATOMS = ["a", "b", "c", "x", "0", ".", "[ab]", "[a-c]", "[^a]", "(ab)",
+         "(a|b)", "\\.", "(a|bc)"]
+QUANTS = ["", "", "*", "+", "?", "{2}", "{1,3}", "{0,2}", "{2,}"]
+
+
+def _gen_pattern(rng) -> str:
+    n = int(rng.integers(1, 5))
+    parts = []
+    for _ in range(n):
+        a = ATOMS[int(rng.integers(0, len(ATOMS)))]
+        q = QUANTS[int(rng.integers(0, len(QUANTS)))]
+        parts.append(a + q)
+    pat = "".join(parts)
+    if rng.random() < 0.3:
+        pat = pat + "|" + _gen_pattern(rng) if pat else pat
+    if rng.random() < 0.15:
+        pat = "^" + pat
+    if rng.random() < 0.15:
+        pat = pat + "$"
+    return pat
+
+
+def _gen_texts(rng, n=10):
+    out = [b"", b"a", b"ab", b"abc"]
+    for _ in range(n):
+        ln = int(rng.integers(0, 14))
+        out.append(bytes(rng.choice(list(b"abcx0."), size=ln).astype(np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_engines_vs_oracle(seed):
+    rng = np.random.default_rng(seed)
+    tested = 0
+    while tested < 25:
+        pattern = _gen_pattern(rng)
+        try:
+            pat = rrx.Pattern(pattern)
+        except rrx.RegexSyntaxError:
+            continue
+        tested += 1
+        orc = OracleEngine(pat.program.nfa)
+        texts = _gen_texts(rng)
+        fm = pat.fullmatch_batch(texts)
+        sr = pat.search_batch(texts)
+        cnt = pat.count_batch(texts)
+        spans = pat.finditer_batch(texts)
+        for t, f, s, c, sp in zip(texts, fm, sr, cnt, spans):
+            assert bool(f) == orc.fullmatch(t), (pattern, t)
+            assert bool(s) == orc.search(t), (pattern, t)
+            assert int(c) == len(orc.ends(t)), (pattern, t)
+            assert sp == orc.findall(t), (pattern, t)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_oracle_vs_re_fullmatch(seed):
+    """Oracle fullmatch == re.fullmatch on anchor-free patterns (the
+    shared-semantics subset; SURVEY.md §4.2)."""
+    rng = np.random.default_rng(100 + seed)
+    tested = 0
+    while tested < 30:
+        pattern = _gen_pattern(rng).replace("^", "").replace("$", "")
+        if not pattern or "|" == pattern[0] or pattern[-1] == "|" or "||" in pattern:
+            continue
+        try:
+            orc = OracleEngine(rrx.build_nfa(pattern))
+            cre = re.compile(pattern.encode())
+        except Exception:
+            continue
+        tested += 1
+        for t in _gen_texts(rng):
+            # '.' matches any byte in re but only ASCII<128 here; texts are
+            # ASCII so semantics align
+            assert orc.fullmatch(t) == bool(cre.fullmatch(t)), (pattern, t)
