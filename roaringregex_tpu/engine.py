@@ -44,10 +44,25 @@ def _default_backend(tier: str) -> str:
 class ScanEngine:
     """Per-program engine: holds device tables and exposes scan primitives."""
 
+    _cache_enabled = False
+
+    @classmethod
+    def _enable_compile_cache(cls, cache_dir: Optional[str]) -> None:
+        if cls._cache_enabled or not cache_dir:
+            return
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+        cls._cache_enabled = True
+
     def __init__(self, prog: DeviceProgram, backend: Optional[str] = None):
         from .utils.config import get_config
 
         cfg = get_config()
+        self._enable_compile_cache(cfg.compile_cache_dir)
         self.prog = prog
         self.backend = backend or cfg.backend or _default_backend(prog.tier)
         if self.backend == "packed" and prog.tier == "sparse":

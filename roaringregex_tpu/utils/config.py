@@ -46,6 +46,14 @@ class RrxConfig:
     native: bool = field(
         default_factory=lambda: os.environ.get("RRX_NATIVE", "1") != "0"
     )
+    # persistent XLA compilation cache (helps multi-process bench/CLI runs;
+    # pallas Mosaic kernels may bypass it depending on the compile path)
+    compile_cache_dir: Optional[str] = field(
+        default_factory=lambda: os.environ.get(
+            "RRX_COMPILE_CACHE", os.path.expanduser("~/.cache/rrx_jax")
+        )
+        or None
+    )
 
     def with_(self, **kw) -> "RrxConfig":
         return replace(self, **kw)
