@@ -104,7 +104,7 @@ def mask_stream_from_bytes(
     W = lanes // 32
     Wt = max(1, s_tile // 32)
 
-    if kernel_layout and Wt == 1:
+    if kernel_layout:
         # fast path: transpose the cheap uint8 data up front and stay in
         # time-major [L, ., B_rows] layout so the expensive uint32 stages
         # never move through memory again (B_rows stays the minor dim the
@@ -112,33 +112,50 @@ def mask_stream_from_bytes(
         d = data.reshape(B_rows, G, L).transpose(2, 1, 0)  # [L, G, B_rows]
         d = jnp.pad(d, ((0, 1), (0, 0), (0, 0)))
         dd = d.astype(jnp.int32)
-        tile = jnp.zeros((L + 1, G, B_rows), jnp.uint32)
-        for r in range(n_runs):
-            hit = (dd >= tables["run_lo"][r]) & (dd <= tables["run_hi"][r])
-            tile = tile | jnp.where(
-                hit, tables["run_words"][r, 0], jnp.uint32(0)
-            )
+        hits = [
+            (dd >= tables["run_lo"][r]) & (dd <= tables["run_hi"][r])
+            for r in range(n_runs)
+        ]
         j = jnp.arange(L + 1)[:, None, None]
         n = jnp.transpose(len_g, (1, 0))[None, :, :]
-        tile = jnp.where(
-            j < n,
-            tile,
-            jnp.where(j == n, tables["eos_words"][0], jnp.uint32(0)),
-        )
-        k = 32 // s_tile  # tiles per word; G = W * k
-        shifts = (jnp.arange(k, dtype=jnp.uint32) * s_tile)[
-            None, None, :, None
-        ]
-        t4 = tile.reshape(L + 1, W, k, B_rows)
-        body = jnp.sum(
-            (t4 << shifts).astype(jnp.uint32), axis=2, dtype=jnp.uint32
-        )  # [L+1, W, B_rows]
-        bos_scalar = tables["bos_words"][0].astype(jnp.uint32)
-        bos_word = jnp.sum(
-            bos_scalar << (jnp.arange(k, dtype=jnp.uint32) * s_tile),
-            dtype=jnp.uint32,
-        )
-        bos = jnp.broadcast_to(bos_word, (1, W, B_rows))
+        tiles = []
+        for wt in range(Wt):
+            tile = jnp.zeros((L + 1, G, B_rows), jnp.uint32)
+            for r in range(n_runs):
+                tile = tile | jnp.where(
+                    hits[r], tables["run_words"][r, wt], jnp.uint32(0)
+                )
+            tile = jnp.where(
+                j < n,
+                tile,
+                jnp.where(j == n, tables["eos_words"][wt], jnp.uint32(0)),
+            )
+            tiles.append(tile)
+        if Wt == 1:
+            k = 32 // s_tile  # tiles per word; G = W * k
+            shifts = (jnp.arange(k, dtype=jnp.uint32) * s_tile)[
+                None, None, :, None
+            ]
+            t4 = tiles[0].reshape(L + 1, W, k, B_rows)
+            body = jnp.sum(
+                (t4 << shifts).astype(jnp.uint32), axis=2, dtype=jnp.uint32
+            )  # [L+1, W, B_rows]
+            bos_scalar = tables["bos_words"][0].astype(jnp.uint32)
+            bos_word = jnp.sum(
+                bos_scalar << (jnp.arange(k, dtype=jnp.uint32) * s_tile),
+                dtype=jnp.uint32,
+            )
+            bos = jnp.broadcast_to(bos_word, (1, W, B_rows))
+        else:
+            # word w = g*Wt + wt: stack per-wt planes then merge (G, Wt)
+            t4 = jnp.stack(tiles, axis=2)  # [L+1, G, Wt, B_rows]
+            body = t4.reshape(L + 1, W, B_rows)
+            bos = jnp.broadcast_to(
+                jnp.tile(tables["bos_words"].astype(jnp.uint32), G)[
+                    None, :, None
+                ],
+                (1, W, B_rows),
+            )
         return jnp.concatenate([bos, body], axis=0)  # [T, W, B_rows]
 
     d = data.reshape(B_rows, G, L).transpose(2, 0, 1)  # [L, B_rows, G]
