@@ -188,13 +188,40 @@ def scan_long(
     return flags.reshape(nb * block)[:T]
 
 
+def compact_tables(prog: DeviceProgram) -> Dict[str, jnp.ndarray]:
+    """Unpacked tables trimmed to the record tile (s_tile lanes instead of
+    the 128/256-lane padded layout): the long-string passes scan an
+    identity batch of S+1 pseudo-records per block, so padding a 7-state
+    automaton to 128 lanes would cost 16x the rows AND 16x the lane width
+    (~250x the FLOPs). Dense tiers only."""
+    assert prog.F is not None, "compact tables need dense F"
+    st = prog.s_tile
+    F = prog.F[:st, :st]
+    Bc = prog.Bc[:, :st]
+    fuse_k = 1 << (st + 1).bit_length()
+    M = np.concatenate([F, fuse_k * Bc.astype(np.int32)], axis=0)
+    return {
+        "K": jnp.asarray(fuse_k, jnp.float32),
+        "M": jnp.asarray(M, DTYPE),
+        "F": jnp.asarray(F, DTYPE),
+        "Ft": jnp.asarray(F.T, DTYPE),
+        "Bc": jnp.asarray(Bc, DTYPE),
+        "accept": jnp.asarray(prog.accept[:st], DTYPE),
+        "byte_class": jnp.asarray(prog.byte_class, jnp.int32),
+    }
+
+
 class LongScanner:
     """One-long-string scanner bound to a compiled program."""
 
     def __init__(self, prog: DeviceProgram, block: int = 1024):
         self.prog = prog
         self.block = block
-        self.tables = sx.device_tables(prog)
+        self.tables = (
+            compact_tables(prog)
+            if prog.F is not None
+            else sx.device_tables(prog)
+        )
 
     def _flags(self, text: bytes, seeded: bool) -> np.ndarray:
         data = jnp.asarray(np.frombuffer(text, dtype=np.uint8))
@@ -236,3 +263,212 @@ class LongScanner:
         e = np.clip(np.arange(n + 2), 0, n)
         covers = np.arange(n + 2) >= n
         return bool(((flags[: n + 2] > 0) & (e == n) & covers).any())
+
+
+# ---------------------------------------------------------------------------
+# Fast path: the same two-pass scheme through the packed Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+class FastLongScanner:
+    """Long-string scan through the lane-packed Pallas kernels.
+
+    Pass 1 packs each block's S+1 summary pseudo-records (identity states +
+    seed accumulator) into MXU rows and carries them with the VMEM-resident
+    kernel; pass 2 replays the real block chains from their prefix-combined
+    entry states. ~100x the XLA path's row rate. Dense tiers with
+    s_tile <= 32 (the common grep patterns); larger automata use
+    LongScanner's portable path.
+    """
+
+    def __init__(self, prog: DeviceProgram, block: int = 16384):
+        from . import scan_packed as sp
+        from . import scan_pallas as spl
+
+        assert prog.F is not None and prog.s_tile <= 32, "unsupported tier"
+        assert block % 128 == 0, "block must be a multiple of 128"
+        self.prog = prog
+        self.block = block
+        self.ptables = sp.packed_tables(prog)
+        self.scanner = spl.PallasScanner(prog, self.ptables)
+        self.S = prog.n_states
+        self.s_tile, self.G, self.lanes = prog.s_tile, prog.G, prog.lanes
+        self.P1 = self.S + 1
+        self.rows_pb = -(-self.P1 // self.G)
+        k = 32 // self.s_tile
+        self.repl = sum(1 << (m * self.s_tile) for m in range(k))
+        lo, hi, cl = prog.byte_runs
+        self._runs = (lo, hi, prog.Bc_words[cl][:, 0] if len(cl) else
+                      np.zeros(0, np.uint32))
+        self._bos = int(prog.Bc_words[prog.bos_class][0])
+        self._eos = int(prog.Bc_words[prog.eos_class][0])
+
+    # -- global stream of tile mask words --------------------------------
+    @functools.partial(jax.jit, static_argnames=("self", "n", "total"))
+    def _tile_words(self, data: jnp.ndarray, *, n: int, total: int):
+        lo, hi, words = self._runs
+        dd = data.astype(jnp.int32)
+        tile = jnp.zeros((n,), jnp.uint32)
+        for r in range(len(lo)):
+            hit = (dd >= int(lo[r])) & (dd <= int(hi[r]))
+            tile = tile | jnp.where(hit, jnp.uint32(int(words[r])), jnp.uint32(0))
+        out = jnp.zeros((total,), jnp.uint32)
+        out = out.at[0].set(jnp.uint32(self._bos))
+        out = out.at[1 : n + 1].set(tile)
+        out = out.at[n + 1].set(jnp.uint32(self._eos))
+        return out
+
+    # -- passes ----------------------------------------------------------
+    @functools.partial(
+        jax.jit, static_argnames=("self", "n", "seeded")
+    )
+    def _flags_impl(self, data, v0_1, gates1, gates2, *, n: int, seeded: bool):
+        """The full two-pass pipeline as ONE device program (eager op
+        dispatch through a remote TPU costs more than the compute)."""
+        G, s_tile, lanes = self.G, self.s_tile, self.lanes
+        S, P1, rows_pb, block = self.S, self.P1, self.rows_pb, self.block
+        T = n + 2
+        nb = -(-T // block)
+        total = nb * block
+        W = lanes // 32
+        geom = self.scanner._blk_limits(2048)
+
+        tile = self._tile_words(data, n=n, total=total)
+        tile_bn = tile.reshape(nb, block)
+
+        # ---- pass 1: block summaries ---------------------------------
+        B1 = nb * rows_pb
+        B_blk = min(geom[0], ((B1 + 127) // 128) * 128)
+        B1p = -(-B1 // B_blk) * B_blk
+        T_chunk = min(geom[1], 128)
+        w1 = (tile_bn * jnp.uint32(self.repl)).T  # [block, nb]
+        if rows_pb > 1:
+            w1 = jnp.repeat(w1, rows_pb, axis=1)
+        w1 = jnp.pad(w1, ((0, 0), (0, B1p - B1)))
+        stream1 = jnp.broadcast_to(w1[:, None, :], (block, W, B1p))
+        vf = self.scanner._carry_call(
+            stream1, v0_1, gates1, seeded, block, B1p, B_blk, T_chunk
+        )  # [lanes, B1p]
+        pr = (
+            jnp.transpose(vf[:, :B1], (1, 0))
+            .reshape(nb, rows_pb, G, s_tile)
+            .reshape(nb, rows_pb * G, s_tile)[:, :P1, :S]
+        )
+        Ms = pr[:, :S, :].astype(DTYPE)
+        ss = pr[:, S, :].astype(DTYPE)
+        ventry = prefix_entries(Ms, ss)  # [nb, S]
+
+        # ---- pass 2: replay real blocks ------------------------------
+        rows2 = -(-nb // G)
+        B_blk2 = min(geom[0], ((rows2 + 127) // 128) * 128)
+        B2p = -(-rows2 // B_blk2) * B_blk2
+        k = 32 // s_tile
+        nbp = B2p * G
+        tile_p = jnp.pad(tile_bn, ((0, nbp - nb), (0, 0)))
+        t3 = tile_p.T.reshape(block, B2p, W, k)  # g = w*k + m
+        shifts = (jnp.arange(k, dtype=jnp.uint32) * s_tile)[
+            None, None, None, :
+        ]
+        w2 = jnp.sum(
+            (t3 << shifts).astype(jnp.uint32), axis=3, dtype=jnp.uint32
+        )
+        stream2 = jnp.transpose(w2, (0, 2, 1))  # [block, W, B2p]
+        # scatter entry states into packed lanes: record b = r*G + g
+        ve = jnp.pad(ventry, ((0, nbp - nb), (0, s_tile - S)))
+        v02 = jnp.transpose(
+            ve.reshape(B2p, G, s_tile).reshape(B2p, lanes), (1, 0)
+        ).astype(DTYPE)
+        flags = self.scanner._flags_v0_call(
+            stream2, v02, gates2, seeded, block, B2p, B_blk2,
+            min(geom[1], 128),
+        )  # [block, G, B2p]
+        out = jnp.transpose(flags, (2, 1, 0)).reshape(nbp, block)[:nb]
+        return out.reshape(-1)[:T]  # device int8 [T]
+
+    def _host_gates(self, nb: int, seeded: bool):
+        """(v0_1, gates1, gates2) for a given block count (cached)."""
+        key = (nb, seeded)
+        cache = getattr(self, "_gate_cache", None)
+        if cache is None:
+            cache = self._gate_cache = {}
+        if key in cache:
+            return cache[key]
+        G, s_tile, lanes = self.G, self.s_tile, self.lanes
+        S, P1, rows_pb = self.S, self.P1, self.rows_pb
+        B1 = nb * rows_pb
+        geom = self.scanner._blk_limits(2048)
+        B_blk = min(geom[0], ((B1 + 127) // 128) * 128)
+        B1p = -(-B1 // B_blk) * B_blk
+        v0 = np.zeros((lanes, B1p), np.float32)
+        gates = np.zeros((G, B1p), np.float32)
+        for kb in range(nb):
+            for j in range(rows_pb):
+                col = kb * rows_pb + j
+                for g in range(G):
+                    ps = j * G + g
+                    if ps < S:
+                        v0[g * s_tile + ps, col] = 1.0
+                    elif ps == P1 - 1 and (seeded or kb == 0):
+                        gates[g, col] = 1.0
+        rows2 = -(-nb // G)
+        B_blk2 = min(geom[0], ((rows2 + 127) // 128) * 128)
+        B2p = -(-rows2 // B_blk2) * B_blk2
+        gates2 = np.zeros((G, B2p), np.float32)
+        for b in range(nb if seeded else 1):
+            r, g = divmod(b, G)
+            gates2[g, r] = 1.0
+        out = (
+            jnp.asarray(v0, DTYPE),
+            jnp.asarray(gates, DTYPE),
+            jnp.asarray(gates2, DTYPE),
+        )
+        cache[key] = out
+        return out
+
+    def flags(self, text, *, seeded: bool = True):
+        """[T = len+2] accept flags per global stream step (device int8).
+        ``text`` may be bytes or a device-resident uint8 array (preferred
+        for repeated scans: host->device transfer dominates otherwise)."""
+        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
+        nb = -(-(n + 2) // self.block)
+        data = (
+            jnp.asarray(np.frombuffer(text, np.uint8))
+            if isinstance(text, (bytes, bytearray))
+            else jnp.asarray(text)
+        )
+        v0_1, gates1, gates2 = self._host_gates(nb, seeded)
+        return self._flags_impl(
+            data, v0_1, gates1, gates2, n=n, seeded=seeded
+        )
+
+    def ends_bitmap(self, text) -> np.ndarray:
+        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
+        flags = self.flags(text, seeded=True)
+        e = np.clip(np.arange(n + 2), 0, n)
+        out = np.zeros(n + 1, bool)
+        np.maximum.at(out, e, flags[: n + 2] > 0)
+        if self.prog.nullable:
+            out[:] = True
+        return out
+
+    def count_ends(self, text: bytes) -> int:
+        return int(self.ends_bitmap(text).sum())
+
+    def search(self, text: bytes) -> bool:
+        return bool(self.ends_bitmap(text).any())
+
+    def fullmatch(self, text) -> bool:
+        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
+        if n == 0:
+            return self.prog.nullable
+        flags = self.flags(text, seeded=False)
+        e = np.clip(np.arange(n + 2), 0, n)
+        covers = np.arange(n + 2) >= n
+        return bool(((flags[: n + 2] > 0) & (e == n) & covers).any())
+
+
+def make_long_scanner(prog: DeviceProgram, block: int = 16384):
+    """Best available long-string scanner for this program."""
+    if prog.F is not None and prog.s_tile <= 32:
+        return FastLongScanner(prog, block=block)
+    return LongScanner(prog, block=min(block, 4096))

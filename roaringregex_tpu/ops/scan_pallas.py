@@ -954,3 +954,190 @@ def _add_first_end(cls):
 
 
 _add_first_end(PallasScanner)
+
+
+# ---------------------------------------------------------------------------
+# Long-string kernels: packed scans with caller-provided initial states
+# (pass 1 carries block-summary pseudo-records; pass 2 replays real blocks)
+# ---------------------------------------------------------------------------
+
+
+def _carry_kernel(
+    v0_ref,  # [lanes, B] bf16 initial states
+    gate_ref,  # [G, B] bf16: rows receiving seed injections
+    stream_ref,  # [T_chunk, W, B] uint32
+    ft_ref,
+    seed_ref,  # [lanes, 1]
+    vout_ref,  # [lanes, B] bf16 final states
+    v_s,
+    *,
+    seeded: bool,
+    T_chunk: int,
+    lanes: int,
+    s_tile: int,
+):
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    B = v_s.shape[1]
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    G_ = gate_ref.shape[0]
+    gl = jnp.broadcast_to(
+        gate_ref[:][:, None, :], (G_, s_tile, B)
+    ).reshape(lanes, B)
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = v0_ref[:]
+
+    def body(t, _):
+        tg = j * T_chunk + t
+        v = v_s[:]
+        if seeded:
+            v = jnp.maximum(v, gl * seed_col)
+        else:
+            v = jnp.where(tg < 2, jnp.maximum(v, gl * seed_col), v)
+        y = jnp.dot(
+            ft_ref[:], v, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+        bits = _unpack_bits(stream_ref[t], lanes, B)
+        v_s[:] = ((y > 0) & bits).astype(DTYPE)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        vout_ref[:] = v_s[:]
+
+
+def _flags_v0_kernel(
+    v0_ref,  # [lanes, B]
+    gate_ref,  # [G, B]
+    stream_ref,
+    ft_ref,
+    at_ref,  # [G, lanes]
+    seed_ref,
+    flags_out,  # [T_chunk, G, B] int8
+    v_s,
+    *,
+    seeded: bool,
+    T_chunk: int,
+    lanes: int,
+    s_tile: int,
+):
+    j = pl.program_id(1)
+    B = v_s.shape[1]
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    G_ = gate_ref.shape[0]
+    gl = jnp.broadcast_to(
+        gate_ref[:][:, None, :], (G_, s_tile, B)
+    ).reshape(lanes, B)
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = v0_ref[:]
+
+    def body(t, _):
+        tg = j * T_chunk + t
+        v = v_s[:]
+        if seeded:
+            v = jnp.maximum(v, gl * seed_col)
+        else:
+            v = jnp.where(tg < 2, jnp.maximum(v, gl * seed_col), v)
+        y = jnp.dot(
+            ft_ref[:], v, preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+        bits = _unpack_bits(stream_ref[t], lanes, B)
+        v2 = ((y > 0) & bits).astype(DTYPE)
+        v_s[:] = v2
+        fl = (
+            jnp.dot(at_ref[:], v2, preferred_element_type=jnp.float32).astype(
+                jnp.float32
+            )
+            > 0
+        )
+        flags_out[t] = fl.astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+
+def _add_longstring_calls(cls):
+    """Attach the custom-v0 entry points used by the long-string mode."""
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _carry_call(self, stream, v0, gates, seeded, T_pad, B_pad, B_blk, T_chunk):
+        G, lanes, W = self.G, self.lanes, self.W
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _carry_kernel,
+            seeded=seeded,
+            T_chunk=T_chunk,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+        )
+        lspec = pl.BlockSpec((lanes, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                lspec,
+                gspec,
+                pl.BlockSpec(
+                    (T_chunk, W, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((lanes, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lanes, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=lspec,
+            out_shape=jax.ShapeDtypeStruct((lanes, B_pad), DTYPE),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(v0, gates, stream, self.ft, self.seed)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _flags_v0_call(self, stream, v0, gates, seeded, T_pad, B_pad, B_blk, T_chunk):
+        G, lanes, W = self.G, self.lanes, self.W
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _flags_v0_kernel,
+            seeded=seeded,
+            T_chunk=T_chunk,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+        )
+        lspec = pl.BlockSpec((lanes, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                lspec,
+                gspec,
+                pl.BlockSpec(
+                    (T_chunk, W, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((lanes, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lanes, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, G, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, G, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(v0, gates, stream, self.ft, self.at, self.seed)
+
+    cls._carry_call = _carry_call
+    cls._flags_v0_call = _flags_v0_call
+
+
+_add_longstring_calls(PallasScanner)

@@ -196,7 +196,9 @@ class DistScanner:
         from ..ops import longstring as ls
 
         prog = self.prog
-        tables = sx.device_tables(prog) if self.dense else self.tables
+        from ..ops import longstring as _ls
+
+        tables = _ls.compact_tables(prog) if self.dense else self.tables
         n = len(text_bytes)
         data = _np.frombuffer(bytes(text_bytes), dtype=_np.uint8)
         cls = _np.asarray(

@@ -55,3 +55,31 @@ def test_long_blocks_beat_sequential_equivalence():
     sc = LongScanner(prog, block=8)  # tiny blocks, matches cross boundaries
     t = (b"xx" + b"abcdcdcde" * 50)[:401]
     assert set(np.nonzero(sc.ends_bitmap(t))[0].tolist()) == oracle.ends(t)
+
+
+@pytest.mark.parametrize("pattern", ["cat|dog", "(ab)*c+d?", "^ab", "ab$",
+                                     "(cat|dog)*", "[a-c]+x"])
+def test_fast_long_scanner_matches_oracle(pattern):
+    from roaringregex_tpu.ops.longstring import FastLongScanner
+
+    prog = compile_program(pattern)
+    oracle = OracleEngine(prog.nfa)
+    sc = FastLongScanner(prog, block=128)  # small blocks, many boundaries
+    rng = np.random.default_rng(11)
+    texts = [b"", b"cat", b"catdog" * 30, b"ab" * 100 + b"ccd"]
+    for _ in range(4):
+        ln = int(rng.integers(1, 500))
+        texts.append(bytes(rng.choice(list(b"abcdtogx"), size=ln).astype(np.uint8)))
+    for t in texts:
+        got = set(np.nonzero(sc.ends_bitmap(t))[0].tolist())
+        assert got == oracle.ends(t), (pattern, len(t))
+        assert sc.fullmatch(t) == oracle.fullmatch(t), (pattern, len(t))
+
+
+def test_make_long_scanner_dispatch():
+    from roaringregex_tpu.ops.longstring import (
+        FastLongScanner, LongScanner, make_long_scanner,
+    )
+
+    assert isinstance(make_long_scanner(compile_program("cat|dog")), FastLongScanner)
+    assert isinstance(make_long_scanner(compile_program("a{1,300}")), LongScanner)
