@@ -441,9 +441,36 @@ class FastLongScanner:
             data, v0_1, gates1, gates2, n=n, seeded=seeded
         )
 
-    def ends_bitmap(self, text) -> np.ndarray:
+    @functools.partial(jax.jit, static_argnames=("self", "n", "seeded", "mode"))
+    def _reduce_impl(self, data, v0_1, g1, g2, *, n, seeded, mode):
+        """flags + scalar reduction in ONE device program (pulling the raw
+        flag stream or reducing it eagerly costs more than the scan on a
+        remote TPU)."""
+        flags = self._flags_impl(data, v0_1, g1, g2, n=n, seeded=seeded)
+        if mode == "count":
+            body = jnp.sum((flags[:n] > 0).astype(jnp.int32))
+            tail = ((flags[n] > 0) | (flags[n + 1] > 0)).astype(jnp.int32)
+            return body + tail
+        if mode == "any":
+            return jnp.any(flags[: n + 2] > 0)
+        return (flags[n] > 0) | (flags[n + 1] > 0)  # fullmatch
+
+    def _reduce(self, text, seeded, mode):
         n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
-        flags = self.flags(text, seeded=True)
+        nb = -(-(n + 2) // self.block)
+        data = (
+            jnp.asarray(np.frombuffer(text, np.uint8))
+            if isinstance(text, (bytes, bytearray))
+            else jnp.asarray(text)
+        )
+        v0_1, g1, g2 = self._host_gates(nb, seeded)
+        return self._reduce_impl(data, v0_1, g1, g2, n=n, seeded=seeded, mode=mode)
+
+    def ends_bitmap(self, text) -> np.ndarray:
+        """[len+1] bool, pulled to host (O(n) transfer; prefer the scalar
+        entry points for repeated large-scale scans)."""
+        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
+        flags = np.asarray(self.flags(text, seeded=True))
         e = np.clip(np.arange(n + 2), 0, n)
         out = np.zeros(n + 1, bool)
         np.maximum.at(out, e, flags[: n + 2] > 0)
@@ -451,20 +478,22 @@ class FastLongScanner:
             out[:] = True
         return out
 
-    def count_ends(self, text: bytes) -> int:
-        return int(self.ends_bitmap(text).sum())
+    def count_ends(self, text) -> int:
+        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
+        if self.prog.nullable:
+            return n + 1
+        return int(self._reduce(text, True, "count"))
 
-    def search(self, text: bytes) -> bool:
-        return bool(self.ends_bitmap(text).any())
+    def search(self, text) -> bool:
+        if self.prog.nullable:
+            return True
+        return bool(self._reduce(text, True, "any"))
 
     def fullmatch(self, text) -> bool:
         n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
         if n == 0:
             return self.prog.nullable
-        flags = self.flags(text, seeded=False)
-        e = np.clip(np.arange(n + 2), 0, n)
-        covers = np.arange(n + 2) >= n
-        return bool(((flags[: n + 2] > 0) & (e == n) & covers).any())
+        return bool(self._reduce(text, False, "full"))
 
 
 def make_long_scanner(prog: DeviceProgram, block: int = 16384):
