@@ -219,6 +219,21 @@ class Pattern:
         e = int(np.asarray(self.engine.first_end_from(data, lengths, starts))[0])
         return Match(0, e, b) if e >= 0 else None
 
+    # -- one-long-string mode (sequence parallelism) -----------------------
+    @property
+    def long(self):
+        """Block-parallel scanner for ONE huge string (ops/longstring.py):
+        ``pat.long.search(blob)``, ``count_ends``, ``fullmatch``,
+        ``ends_bitmap``. Accepts bytes or a device-resident uint8 array."""
+        if getattr(self, "_long", None) is None:
+            from .ops.longstring import make_long_scanner
+            from .utils.config import get_config
+
+            self._long = make_long_scanner(
+                self.program, block=get_config().long_block
+            )
+        return self._long
+
     def finditer(self, text: TextLike) -> Iterator[Match]:
         b = _as_bytes(text)
         for s, e in self.finditer_batch([b])[0]:

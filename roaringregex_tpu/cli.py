@@ -77,6 +77,10 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--only-spans", action="store_true")
     ap.add_argument("-v", "--invert-match", action="store_true")
     ap.add_argument("--fullmatch", action="store_true")
+    ap.add_argument(
+        "--long", action="store_true",
+        help="scan each FILE as ONE string (block-parallel long-string mode)",
+    )
     ap.add_argument("--dump", action="store_true")
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--backend", default=None)
@@ -127,6 +131,30 @@ def main(argv=None) -> int:
     n_bytes = 0
     many_files = len(args.files) > 1
     counts_only = args.count
+    if args.long:
+        if multi is not None:
+            print("rrx: --long takes a single pattern", file=sys.stderr)
+            return 2
+        n_match = n_bytes = 0
+        nsrc = 0
+        for src, buf in _read_buffers(args.files):
+            nsrc += 1
+            n_bytes += len(buf)
+            cnt = pat.long.count_ends(buf)
+            n_match += cnt
+            if not args.count:
+                print(f"{src}: {cnt} match end(s)")
+        if args.count:
+            print(n_match)
+        if args.stats:
+            dt = time.perf_counter() - t0
+            print(
+                f"rrx: {n_match} ends in {nsrc} file(s), {n_bytes} bytes, "
+                f"{dt*1e3:.1f} ms ({n_bytes/max(dt,1e-9)/1e6:.1f} MB/s)",
+                file=sys.stderr,
+            )
+        return 0 if n_match > 0 else 1
+
     prog = (multi or pat).program
     for src, buf in _read_buffers(args.files):
         data, lengths, B = pack_buffer(buf, prog.G)

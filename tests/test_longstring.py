@@ -83,3 +83,13 @@ def test_make_long_scanner_dispatch():
 
     assert isinstance(make_long_scanner(compile_program("cat|dog")), FastLongScanner)
     assert isinstance(make_long_scanner(compile_program("a{1,300}")), LongScanner)
+
+
+def test_pattern_long_api():
+    import roaringregex_tpu as rrx
+
+    p = rrx.Pattern("cat|dog")
+    blob = b"x" * 5000 + b"cat" + b"y" * 5000 + b"dog"
+    assert p.long.count_ends(blob) == 2
+    assert p.long.search(blob) and not p.long.fullmatch(blob)
+    assert p.long.fullmatch(b"cat")
