@@ -162,16 +162,14 @@ class Pattern:
         active = np.array(
             [i < B for i in range(Bp)]
         )  # padding records inactive
+        cols = np.arange(bm.shape[1])[None, :]
         while True:
-            starts = np.full(Bp, -1, dtype=np.int32)
-            for i in range(Bp):
-                if not active[i]:
-                    continue
-                cand = np.nonzero(bm[i, pos[i] : lengths[i] + 1])[0]
-                if cand.size:
-                    starts[i] = pos[i] + cand[0]
-                else:
-                    active[i] = False
+            # vectorized next-start: first candidate bit at/after pos
+            mask = bm & (cols >= pos[:, None]) & (cols <= lengths[:, None])
+            mask &= active[:, None]
+            has = mask.any(axis=1)
+            starts = np.where(has, mask.argmax(axis=1), -1).astype(np.int32)
+            active &= has
             if not active.any():
                 break
             if nullable:
@@ -180,9 +178,7 @@ class Pattern:
                 ends = np.asarray(
                     self.engine.first_end_from(data, lengths, starts)
                 )
-            for i in range(Bp):
-                if starts[i] < 0 or not active[i]:
-                    continue
+            for i in np.nonzero(active)[0]:
                 s, e = int(starts[i]), int(ends[i])
                 assert e >= s, (self.pattern, i, s, e)
                 spans[i].append((s, e))
