@@ -50,7 +50,7 @@ def make_corpus(total_bytes: int, rec_len: int, seed: int = 0):
     return data, lengths
 
 
-def bench_scan(pattern: str, data, lengths, *, iters: int = 6, pipeline: int = 16):
+def bench_scan(pattern: str, data, lengths, *, iters: int = 10, pipeline: int = 24):
     """Time the fused batched scan (encode + match_stats) end to end.
 
     Returns (bytes_per_sec, total_matches). Data is placed on device
