@@ -34,18 +34,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_corpus(total_bytes: int, rec_len: int, seed: int = 0):
-    """Synthetic ASCII corpus: lowercase words with cat/dog sprinkled in."""
+def make_corpus(total_bytes: int, rec_len: int, seed: int = 0,
+                plant=(b"cat", b"dog")):
+    """Synthetic ASCII corpus: lowercase records with match-bearing
+    substrings planted so every config exercises real match paths."""
     rng = np.random.default_rng(seed)
     B = max(1, total_bytes // rec_len)
     data = rng.integers(ord("a"), ord("z") + 1, size=(B, rec_len), dtype=np.uint8)
-    # sprinkle literals so matches exist
-    for word in (b"cat", b"dog"):
+    for word in plant:
         w = np.frombuffer(word, dtype=np.uint8)
         rows = rng.integers(0, B, size=max(1, B // 8))
-        cols = rng.integers(0, rec_len - 3, size=rows.size)
+        cols = rng.integers(0, max(rec_len - len(w), 1), size=rows.size)
         for r, c in zip(rows, cols):
-            data[r, c : c + 3] = w
+            data[r, c : c + len(w)] = w
     lengths = np.full(B, rec_len, dtype=np.int32)
     return data, lengths
 
@@ -105,7 +106,8 @@ def bench_scan(pattern: str, data, lengths, *, iters: int = 10, pipeline: int = 
 
 CONFIGS = {
     1: dict(pattern="cat|dog", rec_len=1024, name="literal+union 64-tier"),
-    2: dict(pattern="[a-z]+\\.log$", rec_len=256, name="brackets+anchor log lines"),
+    2: dict(pattern="[a-z]+\\.log$", rec_len=256, name="brackets+anchor log lines",
+            plant=(b"x" * 250 + b"ab.log",)),  # full record ending in .log
     3: dict(pattern="(ab)*c+d?", rec_len=1024, name="kleene-heavy 256-tier"),
     4: dict(pattern="a{1,300}", rec_len=1024, name="bounded-rep multiblock tier"),
     5: dict(pattern="cat|dog", rec_len=1024, name="sharded-corpus grep (mesh)",
@@ -210,7 +212,9 @@ def main():
     cfgs = sorted(CONFIGS) if args.all else [args.config]
     for ci in cfgs:
         cfg = CONFIGS[ci]
-        data, lengths = make_corpus(total_bytes, cfg["rec_len"])
+        data, lengths = make_corpus(
+            total_bytes, cfg["rec_len"], plant=cfg.get("plant", (b"cat", b"dog"))
+        )
         if cfg.get("sharded"):
             bps, total = bench_sharded(cfg["pattern"], data, lengths)
         elif cfg.get("multi"):
