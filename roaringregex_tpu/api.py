@@ -145,9 +145,10 @@ class Pattern:
         ]
 
     def finditer_batch(
-        self, texts: Sequence[TextLike]
+        self, texts: Sequence[TextLike], *, longest: bool = False
     ) -> List[List[Tuple[int, int]]]:
-        """Lazy non-overlapping spans for every record.
+        """Non-overlapping spans for every record: lazy (leftmost-shortest,
+        default) or greedy (``longest=True``, leftmost-longest — POSIX).
 
         One reverse scan finds all candidate starts; then rounds of batched
         anchored scans resolve each record's next span (all records advance
@@ -172,12 +173,18 @@ class Pattern:
             active &= has
             if not active.any():
                 break
-            if nullable:
+            if nullable and not longest:
                 ends = starts  # lazy end of a nullable pattern is the start
             else:
                 ends = np.asarray(
-                    self.engine.first_end_from(data, lengths, starts)
+                    self.engine.first_end_from(
+                        data, lengths, starts, longest=longest
+                    )
                 )
+                if nullable:
+                    # greedy nullable: empty match at s is the fallback when
+                    # no longer match starts there
+                    ends = np.where(ends >= starts, ends, starts)
             for i in np.nonzero(active)[0]:
                 s, e = int(starts[i]), int(ends[i])
                 assert e >= s, (self.pattern, i, s, e)
@@ -230,13 +237,15 @@ class Pattern:
             )
         return self._long
 
-    def finditer(self, text: TextLike) -> Iterator[Match]:
+    def finditer(
+        self, text: TextLike, *, longest: bool = False
+    ) -> Iterator[Match]:
         b = _as_bytes(text)
-        for s, e in self.finditer_batch([b])[0]:
+        for s, e in self.finditer_batch([b], longest=longest)[0]:
             yield Match(s, e, b)
 
-    def findall(self, text: TextLike) -> List[bytes]:
-        return [m.group() for m in self.finditer(text)]
+    def findall(self, text: TextLike, *, longest: bool = False) -> List[bytes]:
+        return [m.group() for m in self.finditer(text, longest=longest)]
 
 
 @functools.lru_cache(maxsize=256)

@@ -149,8 +149,9 @@ class ScanEngine:
     def forward_flags(self, data, lengths, *, seeded: bool) -> jnp.ndarray:
         """[B, T+1] accept flags."""
         if self._pallas is not None:
-            words, _ = self._words(data, lengths, kernel_layout=True)
-            return self._pallas.forward_flags(words, seeded=seeded, layout="kernel")
+            return self._pallas.forward_flags_b(
+                jnp.asarray(data), self._len_g(lengths), seeded=seeded
+            )
         if self._ptables is not None:
             words, _ = self._words(data, lengths, kernel_layout=False)
             return self._sp.forward_flags(
@@ -162,23 +163,23 @@ class ScanEngine:
     def match_stats(self, data, lengths, *, seeded: bool):
         """(count, first_end, any) per accept channel (== per record unless
         multi-pattern), each flattened to [B * channels_per_record]."""
+        if self._pallas is not None:
+            cnt, first, last, full, anym = self._pallas.match_stats_b(
+                jnp.asarray(data), self._len_g(lengths), seeded=seeded
+            )
+            B = cnt.shape[0] * cnt.shape[1]
+            return cnt.reshape(B), first.reshape(B), anym.reshape(B)
         if self._ptables is not None:
-            kernel = self._pallas is not None
-            words, _ = self._words(data, lengths, kernel_layout=kernel)
+            words, _ = self._words(data, lengths, kernel_layout=False)
             len_c = self._len_channels(lengths)
-            if kernel:
-                cnt, first, anym = self._pallas.match_stats(
-                    words, len_c, seeded=seeded, layout="kernel"
-                )
-            else:
-                cnt, first, anym = self._sp.match_stats(
-                    self._ptables,
-                    words,
-                    len_c,
-                    seeded=seeded,
-                    nullable=self._nullable,
-                    lanes=self.prog.lanes,
-                )
+            cnt, first, anym = self._sp.match_stats(
+                self._ptables,
+                words,
+                len_c,
+                seeded=seeded,
+                nullable=self._nullable,
+                lanes=self.prog.lanes,
+            )
             B = cnt.shape[0] * cnt.shape[1]
             return cnt.reshape(B), first.reshape(B), anym.reshape(B)
         cls = self.encode(data, lengths)
@@ -190,8 +191,9 @@ class ScanEngine:
     def reverse_hits(self, data, lengths) -> jnp.ndarray:
         """[B, T] start-position hits."""
         if self._pallas is not None:
-            words, _ = self._words(data, lengths, kernel_layout=True)
-            return self._pallas.reverse_hits(words, layout="kernel")
+            return self._pallas.reverse_hits_b(
+                jnp.asarray(data), self._len_g(lengths)
+            )
         if self._ptables is not None:
             words, _ = self._words(data, lengths, kernel_layout=False)
             return self._sp.reverse_hits(
@@ -200,30 +202,34 @@ class ScanEngine:
         cls = self.encode(data, lengths)
         return sx.reverse_hits(self.tables, cls)
 
-    def first_end_from(self, data, lengths, starts) -> jnp.ndarray:
-        """Smallest end of an anchored match per record (-1 = none); the
-        rescan primitive of lazy span extraction."""
-        if self._ptables is not None and self.prog.tier != "sparse":
-            kernel = self._pallas is not None
-            words, len_g = self._words(data, lengths, kernel_layout=kernel)
+    def first_end_from(self, data, lengths, starts, *, longest: bool = False):
+        """Anchored-rescan end per record (-1 = none): smallest end (lazy
+        policy) or, with ``longest=True``, largest end (greedy
+        leftmost-longest -- the POSIX policy)."""
+        if self._pallas is not None and self.prog.tier != "sparse":
+            len_g = self._len_g(lengths)
             starts_g = jnp.asarray(starts).reshape(-1, self.prog.G)
-            if kernel:
-                first = self._pallas.first_end_from(
-                    words, len_g, starts_g, layout="kernel"
-                )
-            else:
-                first = self._sp.first_end_from(
-                    self._ptables,
-                    words,
-                    len_g,
-                    starts_g,
-                    lanes=self.prog.lanes,
-                    s_tile=self.prog.s_tile,
-                )
+            first = self._pallas.anchor_end_b(
+                jnp.asarray(data), len_g, starts_g, longest=longest
+            )
+            return first.reshape(-1)
+        if self._ptables is not None and self.prog.tier != "sparse":
+            words, len_g = self._words(data, lengths, kernel_layout=False)
+            starts_g = jnp.asarray(starts).reshape(-1, self.prog.G)
+            first = self._sp.first_end_from(
+                self._ptables,
+                words,
+                len_g,
+                starts_g,
+                lanes=self.prog.lanes,
+                s_tile=self.prog.s_tile,
+                longest=longest,
+            )
             return first.reshape(-1)
         cls = self.encode(data, lengths)
         return sx.first_end_from(
-            self.tables, cls, jnp.asarray(lengths), jnp.asarray(starts)
+            self.tables, cls, jnp.asarray(lengths), jnp.asarray(starts),
+            longest=longest,
         )
 
     # ------------------------------------------------------------------
@@ -247,7 +253,14 @@ class ScanEngine:
         )
 
     def fullmatch_flags(self, data, lengths) -> np.ndarray:
-        """[B] bool whole-string acceptance."""
+        """[B] bool whole-string acceptance (the reference's only matching
+        semantics, regex.h:150-165). On the pallas backend this is fused
+        into the match kernel (no [B, T] flag stream is materialized)."""
+        if self._pallas is not None:
+            _, _, _, full, _ = self._pallas.match_stats_b(
+                jnp.asarray(data), self._len_g(lengths), seeded=False
+            )
+            return np.asarray(full.reshape(-1))
         flags = self.forward_flags(data, lengths, seeded=False)
         B, T1 = flags.shape
         t = jnp.arange(T1)[None, :]

@@ -390,7 +390,7 @@ def reverse_hits(
     return hits.transpose(1, 2, 0).reshape(B_rows * G, T)
 
 
-@functools.partial(jax.jit, static_argnames=("lanes", "s_tile"))
+@functools.partial(jax.jit, static_argnames=("lanes", "s_tile", "longest"))
 def first_end_from(
     tables: Tables,
     words: jnp.ndarray,  # [T, B_rows, W] mask stream
@@ -399,8 +399,10 @@ def first_end_from(
     *,
     lanes: int,
     s_tile: int,
+    longest: bool = False,
 ) -> jnp.ndarray:
-    """Smallest end e with text[s:e] matching, per record (packed analog of
+    """Smallest (lazy) or largest (``longest=True``, greedy leftmost-longest)
+    end e with text[s:e] matching, per record (packed analog of
     scan_xla.first_end_from; the anchored rescan of span extraction)."""
     T, B_rows, W = words.shape
     G = len_g.shape[1]
@@ -420,7 +422,10 @@ def first_end_from(
         v2 = ((y > 0) & unpack_bits(words_t, lanes)).astype(DTYPE)
         fl = jnp.dot(v2, tables["A"], preferred_element_type=jnp.float32) > 0
         e = jnp.clip(t, 0, len_g)
-        ok = fl & (e >= starts_g) & (first < 0)
+        if longest:
+            ok = fl & (e >= starts_g)
+        else:
+            ok = fl & (e >= starts_g) & (first < 0)
         first = jnp.where(ok, e, first)
         return (v2, first), None
 

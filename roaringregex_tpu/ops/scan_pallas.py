@@ -456,7 +456,9 @@ class PallasScanner:
         self.nullable = prog.nullable
         self.lanes = prog.lanes
         self.G = prog.G
+        self.Gp = prog.G  # packing groups (fixed; G may alias channels)
         self.W = prog.lanes // 32
+        self.spec = byte_spec(prog)
         self.ft = jnp.asarray(np.asarray(ptables["F_bd"]).T, DTYPE)
         self.f = ptables["F_bd"].astype(DTYPE)
         self.at = jnp.asarray(np.asarray(ptables["A"]).T, DTYPE)
@@ -658,7 +660,9 @@ class SparseScanner(PallasScanner):
         self.nullable = prog.nullable
         self.lanes = prog.s_pad
         self.G = 1
+        self.Gp = 1
         self.W = self.lanes // 32
+        self.spec = byte_spec(prog)
         nb = self.lanes // 128
         pb, prow, pcol, U = prog.sparse_partition
         self.pb = jnp.asarray(pb, DTYPE)
@@ -954,6 +958,1026 @@ def _add_first_end(cls):
 
 
 _add_first_end(PallasScanner)
+
+
+# ---------------------------------------------------------------------------
+# Fused byte->mask kernels (the production scan path)
+#
+# Instead of materializing the [T, W, B] uint32 mask stream in HBM (one
+# extra write + read per corpus byte at G=16, plus a dispatch), these
+# kernels take the raw corpus bytes in time-major slabs and perform the
+# byte->class->mask translation *in-kernel*: the program's byte runs
+# (DeviceProgram.byte_runs) and per-class mask words (Bc_words) are baked
+# into the kernel as static constants, so the translation is R range
+# compares + selects on [G, B]-sized registers — off the MXU-dependent
+# chain and overlappable with the follow matmul.
+#
+# Byte layout: [T_pad // r, r * G, B_pad] uint8, row m*G + g = stream step
+# q*r + m of group g. r = min(32 // G, 8) steps share one slab so the
+# (32, 128) int8 VMEM tile is filled; the scan body unrolls r steps per
+# fori iteration with static row slices (no dynamic sublane indexing,
+# which Mosaic rejects).
+# ---------------------------------------------------------------------------
+
+
+def byte_spec(prog: DeviceProgram) -> tuple:
+    """Static in-kernel byte->mask plan: (runs, bos, eos) where runs is
+    ((lo, hi, (word, ...)), ...) over the program's byte runs and
+    bos/eos are the BOS/EOS mask words, all hashable python ints."""
+    lo, hi, cl = prog.byte_runs
+    W = prog.Bc_words  # [c_pad, Wt] uint32
+    runs = tuple(
+        (int(l), int(h), tuple(int(x) for x in W[int(c)]))
+        for l, h, c in zip(lo, hi, cl)
+    )
+    bos = tuple(int(x) for x in W[prog.bos_class])
+    eos = tuple(int(x) for x in W[prog.eos_class])
+    return runs, bos, eos
+
+
+def _bits_from_bytes(d, tg, lens, spec, *, s_tile: int, G: int, B: int):
+    """[G, B] uint8 raw bytes at stream step ``tg`` -> [G*s_tile, B] bool
+    mask bits. Step semantics match mask_stream_from_bytes: tg == 0 is BOS,
+    byte position j = tg - 1; j == len is EOS, j > len is dead (all-zero).
+    """
+    runs, bos, eos = spec
+    Wt = max(1, s_tile // 32)
+    bits_n = min(32, s_tile)
+    dd = d.astype(jnp.int32)
+    j = tg - 1
+    hits = [(dd >= lo) & (dd <= hi) for (lo, hi, _) in runs]
+    parts = []
+    for wt in range(Wt):
+        mw = jnp.zeros((G, B), jnp.uint32)
+        for h, (_, _, words) in zip(hits, runs):
+            if words[wt]:
+                mw = jnp.where(h, mw | jnp.uint32(words[wt]), mw)
+        mw = jnp.where(
+            j < lens, mw,
+            jnp.where(j == lens, jnp.uint32(eos[wt]), jnp.uint32(0)),
+        )
+        mw = jnp.where(j < 0, jnp.uint32(bos[wt]), mw)
+        shifts = jax.lax.broadcasted_iota(jnp.uint32, (G, bits_n, B), 1)
+        parts.append((mw[:, None, :] >> shifts) & jnp.uint32(1))
+    x = parts[0] if Wt == 1 else jnp.concatenate(parts, axis=1)
+    return (x > 0).reshape(G * s_tile, B)
+
+
+def _match_kernel_b(
+    len_ref,  # [G, B] int32
+    data_ref,  # [T_chunk // r, r * G, B] uint8
+    ft_ref,  # [lanes, lanes] bf16 (F_bd^T)
+    at_ref,  # [G, lanes] bf16
+    seed_ref,  # [lanes, 1] bf16
+    cnt_out,  # [G, B] int32
+    first_out,  # [G, B] int32
+    last_out,  # [G, B] int32
+    full_out,  # [G, B] int32 (whole-record acceptance; needs seeded=False)
+    v_s,  # scratch [lanes, B] bf16
+    cnt_s,
+    first_s,
+    last_s,
+    full_s,  # scratch [G, B] int32
+    *,
+    seeded: bool,
+    nullable: bool,
+    n_seed: int,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+):
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    G = len_ref.shape[0]  # packing groups (records per row)
+    C = at_ref.shape[0]  # accept channels (G, or G*P for multi-pattern)
+    P = C // G
+    B = v_s.shape[1]
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+    lenc = (
+        jnp.broadcast_to(lens[:, None, :], (G, P, B)).reshape(C, B)
+        if P > 1
+        else lens
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = seed_col
+        if nullable:
+            if seeded:
+                cnt_s[:] = lenc + 1
+                last_s[:] = lenc
+            else:
+                cnt_s[:] = jnp.ones_like(lenc)
+                last_s[:] = jnp.zeros_like(lenc)
+            first_s[:] = jnp.zeros_like(lenc)
+        else:
+            cnt_s[:] = jnp.zeros_like(lenc)
+            first_s[:] = jnp.full_like(lenc, -1)
+            last_s[:] = jnp.full_like(lenc, -1)
+        full_s[:] = (
+            (lenc == 0).astype(jnp.int32) if nullable else jnp.zeros_like(lenc)
+        )
+
+    def body(i, _):
+        slab = data_ref[i]  # [r*G, B]
+        for m in range(r):
+            d = slab[m * G : (m + 1) * G]
+            tg = j * T_chunk + i * r + m
+            v = v_s[:]
+            if not seeded:
+                v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
+            else:
+                v = jnp.maximum(v, seed_col)
+            y = jnp.dot(
+                ft_ref[:], v, preferred_element_type=jnp.float32
+            ).astype(jnp.float32)
+            bits = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            )
+            v2 = ((y > 0) & bits).astype(DTYPE)
+            v_s[:] = v2
+            fl = (
+                jnp.dot(
+                    at_ref[:], v2, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )  # [C, B]
+            e = jnp.minimum(tg, lenc)
+            if not (nullable and seeded):
+                new = fl & (e != last_s[:])
+                cnt_s[:] = cnt_s[:] + new.astype(jnp.int32)
+            first_s[:] = jnp.where((first_s[:] < 0) & fl, e, first_s[:])
+            last_s[:] = jnp.where(fl, e, last_s[:])
+            full_s[:] = full_s[:] | (fl & (tg >= lenc)).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        cnt_out[:] = cnt_s[:]
+        first_out[:] = first_s[:]
+        last_out[:] = last_s[:]
+        full_out[:] = full_s[:]
+
+
+def _flags_kernel_b(
+    len_ref,  # [G, B] int32
+    data_ref,  # [T_chunk // r, r * G, B] uint8
+    ft_ref,
+    at_ref,
+    seed_ref,
+    flags_out,  # [T_chunk, G, B] int8
+    v_s,
+    *,
+    seeded: bool,
+    n_seed: int,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+):
+    j = pl.program_id(1)
+    G = len_ref.shape[0]
+    B = v_s.shape[1]
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = seed_col
+
+    def body(i, _):
+        slab = data_ref[i]
+        for m in range(r):
+            d = slab[m * G : (m + 1) * G]
+            tg = j * T_chunk + i * r + m
+            v = v_s[:]
+            if not seeded:
+                v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
+            else:
+                v = jnp.maximum(v, seed_col)
+            y = jnp.dot(
+                ft_ref[:], v, preferred_element_type=jnp.float32
+            ).astype(jnp.float32)
+            bits = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            )
+            v2 = ((y > 0) & bits).astype(DTYPE)
+            v_s[:] = v2
+            fl = (
+                jnp.dot(
+                    at_ref[:], v2, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            flags_out[i * r + m] = fl.astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+
+def _reverse_kernel_b(
+    len_ref,  # [G, B] int32
+    data_ref,  # [T_chunk // r, r * G, B] uint8 (chunk nT-1-j of the stream)
+    f_ref,  # [lanes, lanes] bf16 (F_bd, untransposed)
+    sg_ref,  # [G, lanes] bf16
+    acc_ref,  # [lanes, 1] bf16
+    hits_out,  # [T_chunk, G, B] int8
+    r_s,
+    *,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+):
+    j = pl.program_id(1)
+    G = len_ref.shape[0]
+    B = r_s.shape[1]
+    acc_col = jnp.broadcast_to(acc_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        r_s[:] = jnp.zeros((lanes, B), DTYPE)
+
+    def body(i, _):
+        iq = T_chunk // r - 1 - i
+        slab = data_ref[iq]
+        for m in reversed(range(r)):
+            d = slab[m * G : (m + 1) * G]
+            tg = j * T_chunk + iq * r + m
+            R = jnp.maximum(r_s[:], acc_col)
+            bits = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            )
+            masked = ((R.astype(jnp.float32) > 0) & bits).astype(DTYPE)
+            Rn = jnp.dot(
+                f_ref[:], masked, preferred_element_type=jnp.float32
+            ).astype(jnp.float32)
+            Rn = (Rn > 0).astype(DTYPE)
+            r_s[:] = Rn
+            hit = (
+                jnp.dot(
+                    sg_ref[:], Rn, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            hits_out[iq * r + m] = hit.astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+
+def _anchor_end_kernel_b(
+    len_ref,  # [G, B] int32
+    starts_ref,  # [G, B] int32 per-record anchored start; -1 inactive
+    data_ref,  # [T_chunk // r, r * G, B] uint8
+    ft_ref,
+    at_ref,
+    seed_ref,
+    end_out,  # [G, B] int32
+    v_s,
+    end_s,
+    *,
+    longest: bool,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+):
+    """Anchored rescan: smallest (lazy) or largest (greedy leftmost-longest)
+    end of a match starting exactly at ``starts`` — the two span policies
+    (the reference's never-implemented greedy iterator, regex.h:150-165)."""
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    G = len_ref.shape[0]
+    B = v_s.shape[1]
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+    starts = starts_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((lanes, B), DTYPE)
+        end_s[:] = jnp.full((end_s.shape[0], B), -1, jnp.int32)
+
+    def body(i, _):
+        slab = data_ref[i]
+        for m in range(r):
+            d = slab[m * G : (m + 1) * G]
+            tg = j * T_chunk + i * r + m
+            gate = ((starts == tg - 1) | ((starts == 0) & (tg <= 1))) & (
+                starts >= 0
+            )
+            gl = jnp.broadcast_to(
+                gate.astype(DTYPE)[:, None, :], (G, s_tile, B)
+            ).reshape(lanes, B)
+            v = jnp.maximum(v_s[:], gl * seed_col)
+            y = jnp.dot(
+                ft_ref[:], v, preferred_element_type=jnp.float32
+            ).astype(jnp.float32)
+            bits = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            )
+            v2 = ((y > 0) & bits).astype(DTYPE)
+            v_s[:] = v2
+            fl = (
+                jnp.dot(
+                    at_ref[:], v2, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            e = jnp.minimum(tg, lens)
+            if longest:
+                ok = fl & (e >= starts)
+                end_s[:] = jnp.where(ok, e, end_s[:])
+            else:
+                ok = fl & (e >= starts) & (end_s[:] < 0)
+                end_s[:] = jnp.where(ok, e, end_s[:])
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        end_out[:] = end_s[:]
+
+
+def _sparse_match_kernel_b(
+    len_ref,  # [1, B]
+    data_ref,  # [T_chunk // r, r, B] uint8 (G = 1)
+    pbt_ref,
+    ut_ref,
+    bsum_ref,
+    at_ref,  # [C, lanes]
+    seed_ref,
+    cnt_out,
+    first_out,
+    last_out,
+    full_out,  # [C, B]
+    v_s,
+    cnt_s,
+    first_s,
+    last_s,
+    full_s,
+    *,
+    seeded: bool,
+    nullable: bool,
+    n_seed: int,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    groups,
+    spec,
+):
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    C = at_ref.shape[0]
+    B = v_s.shape[1]
+    nb = lanes // 128
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+    lenc = jnp.broadcast_to(lens, (C, B)) if C > 1 else lens
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = seed_col
+        if nullable:
+            if seeded:
+                cnt_s[:] = lenc + 1
+                last_s[:] = lenc
+            else:
+                cnt_s[:] = jnp.ones_like(lenc)
+                last_s[:] = jnp.zeros_like(lenc)
+            first_s[:] = jnp.zeros_like(lenc)
+        else:
+            cnt_s[:] = jnp.zeros_like(lenc)
+            first_s[:] = jnp.full_like(lenc, -1)
+            last_s[:] = jnp.full_like(lenc, -1)
+        full_s[:] = (
+            (lenc == 0).astype(jnp.int32) if nullable else jnp.zeros_like(lenc)
+        )
+
+    def body(i, _):
+        slab = data_ref[i]
+        for m in range(r):
+            d = slab[m : m + 1]
+            tg = j * T_chunk + i * r + m
+            v = v_s[:]
+            if not seeded:
+                v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
+            else:
+                v = jnp.maximum(v, seed_col)
+            bits = _bits_from_bytes(d, tg, lens, spec, s_tile=lanes, G=1, B=B)
+            ys = _sparse_expand(v, pbt_ref, ut_ref, bsum_ref, groups, nb, B)
+            fl_acc = jnp.zeros((C, B), jnp.float32)
+            for c in range(nb):
+                v2c = ((ys[c] > 0) & bits[c * 128 : (c + 1) * 128, :]).astype(
+                    DTYPE
+                )
+                v_s[c * 128 : (c + 1) * 128, :] = v2c
+                fl_acc = fl_acc + jnp.dot(
+                    at_ref[:, c * 128 : (c + 1) * 128], v2c,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.float32)
+            fl = fl_acc > 0  # [C, B]
+            e = jnp.minimum(tg, lenc)
+            if not (nullable and seeded):
+                new = fl & (e != last_s[:])
+                cnt_s[:] = cnt_s[:] + new.astype(jnp.int32)
+            first_s[:] = jnp.where((first_s[:] < 0) & fl, e, first_s[:])
+            last_s[:] = jnp.where(fl, e, last_s[:])
+            full_s[:] = full_s[:] | (fl & (tg >= lenc)).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        cnt_out[:] = cnt_s[:]
+        first_out[:] = first_s[:]
+        last_out[:] = last_s[:]
+        full_out[:] = full_s[:]
+
+
+def _sparse_flags_kernel_b(
+    len_ref,
+    data_ref,
+    pbt_ref,
+    ut_ref,
+    bsum_ref,
+    at_ref,
+    seed_ref,
+    flags_out,  # [T_chunk, C, B] int8
+    v_s,
+    *,
+    seeded: bool,
+    n_seed: int,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    groups,
+    spec,
+):
+    j = pl.program_id(1)
+    C = at_ref.shape[0]
+    B = v_s.shape[1]
+    nb = lanes // 128
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = seed_col
+
+    def body(i, _):
+        slab = data_ref[i]
+        for m in range(r):
+            d = slab[m : m + 1]
+            tg = j * T_chunk + i * r + m
+            v = v_s[:]
+            if not seeded:
+                v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
+            else:
+                v = jnp.maximum(v, seed_col)
+            bits = _bits_from_bytes(d, tg, lens, spec, s_tile=lanes, G=1, B=B)
+            ys = _sparse_expand(v, pbt_ref, ut_ref, bsum_ref, groups, nb, B)
+            fl_acc = jnp.zeros((C, B), jnp.float32)
+            for c in range(nb):
+                v2c = ((ys[c] > 0) & bits[c * 128 : (c + 1) * 128, :]).astype(
+                    DTYPE
+                )
+                v_s[c * 128 : (c + 1) * 128, :] = v2c
+                fl_acc = fl_acc + jnp.dot(
+                    at_ref[:, c * 128 : (c + 1) * 128], v2c,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.float32)
+            flags_out[i * r + m] = (fl_acc > 0).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+
+def _sparse_reverse_kernel_b(
+    len_ref,
+    data_ref,
+    pb_ref,
+    u_ref,
+    bsum_ref,
+    sg_ref,  # [1, lanes]
+    acc_ref,  # [lanes, 1]
+    hits_out,  # [T_chunk, 1, B] int8
+    r_s,
+    *,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    rgroups,
+    spec,
+):
+    j = pl.program_id(1)
+    B = r_s.shape[1]
+    nb = lanes // 128
+    acc_col = jnp.broadcast_to(acc_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        r_s[:] = jnp.zeros((lanes, B), DTYPE)
+
+    def body(i, _):
+        iq = T_chunk // r - 1 - i
+        slab = data_ref[iq]
+        for m in reversed(range(r)):
+            d = slab[m : m + 1]
+            tg = j * T_chunk + iq * r + m
+            R = jnp.maximum(r_s[:], acc_col)
+            bits = _bits_from_bytes(d, tg, lens, spec, s_tile=lanes, G=1, B=B)
+            masked = ((R.astype(jnp.float32) > 0) & bits).astype(DTYPE)
+            ys = _sparse_expand(masked, pb_ref, u_ref, bsum_ref, rgroups, nb, B)
+            hit_acc = jnp.zeros((1, B), jnp.float32)
+            for rb in range(nb):
+                rnc = (ys[rb] > 0).astype(DTYPE)
+                r_s[rb * 128 : (rb + 1) * 128, :] = rnc
+                hit_acc = hit_acc + jnp.dot(
+                    sg_ref[:, rb * 128 : (rb + 1) * 128], rnc,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.float32)
+            hits_out[iq * r + m] = (hit_acc > 0).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Byte-path wrappers (attached to PallasScanner / SparseScanner)
+# ---------------------------------------------------------------------------
+
+
+def _time_major(data, G: int, L: int, T_pad: int, B_pad: int, r: int):
+    """[B_rows*G, L] uint8 -> [T_pad // r, r*G, B_pad] slab layout; slab
+    row m*G + g = stream step q*r + m (step 0 = BOS reads a dead row —
+    overridden in-kernel)."""
+    B_rows = data.shape[0] // G
+    d = data.reshape(B_rows, G, L).transpose(2, 1, 0)
+    d = jnp.pad(d, ((1, T_pad - L - 1), (0, 0), (0, B_pad - B_rows)))
+    return d.reshape(T_pad // r, r * G, B_pad)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+
+def _add_byte_path(cls):
+    def _geom_b(self, L: int, B_rows: int, b_blk_max: int = B_BLK_MAX):
+        T = L + 2
+        b_cap, t_cap = self._blk_limits(b_blk_max)
+        B_blk = min(b_cap, _round_up(max(B_rows, 1), 128))
+        B_pad = _round_up(max(B_rows, 1), B_blk)
+        r = max(1, min(32 // max(self.Gp, 1), 8))
+        T_chunk = min(t_cap, max(r, _round_up(T, 8)))
+        T_chunk = _round_up(T_chunk, r)
+        T_pad = _round_up(T, T_chunk)
+        return T, T_pad, B_pad, B_blk, T_chunk, r
+
+    def _lenT(self, len_g, B_pad):
+        B_rows = len_g.shape[0]
+        return jnp.pad(
+            jnp.transpose(jnp.asarray(len_g), (1, 0)),
+            ((0, 0), (0, B_pad - B_rows)),
+        )
+
+    # -- match stats -----------------------------------------------------
+    def match_stats_b(self, data, len_g, *, seeded: bool):
+        """Raw bytes [B, L] + len_g [B_rows, G] -> per accept channel
+        (cnt, first, last, full, any), each [B_rows, C]."""
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows)
+        lenT = self._lenT(len_g, B_pad)
+        cnt, first, last, full = self._match_call_b(
+            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r
+        )
+        tr = lambda x: jnp.transpose(x[:, :B_rows], (1, 0))
+        cnt, first, last, full = tr(cnt), tr(first), tr(last), tr(full)
+        return cnt, first, last, full > 0, cnt > 0
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _match_call_b(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r):
+        G, lanes = self.Gp, self.lanes
+        C = self.at.shape[0]
+        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _match_kernel_b,
+            seeded=seeded,
+            nullable=self.nullable,
+            n_seed=2,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((C, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec,
+                _full_spec((lanes, lanes)),
+                _full_spec((C, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=(cspec,) * 4,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((C, B_pad), jnp.int32) for _ in range(4)
+            ),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)]
+            + [pltpu.VMEM((C, B_blk), jnp.int32)] * 4,
+            interpret=_interpret(),
+        )(lenT, tm, self.ft, self.at, self.seed)
+
+    # -- forward flags ---------------------------------------------------
+    def forward_flags_b(self, data, len_g, *, seeded: bool):
+        """[B*C//G, T+1] accept flags per channel (flag0 prepended)."""
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(
+            L, B_rows, B_BLK_FLAGS
+        )
+        lenT = self._lenT(len_g, B_pad)
+        flags = self._flags_call_b(
+            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r
+        )  # [T_pad, C, B_pad]
+        C = flags.shape[1]
+        fl = flags[:T, :, :B_rows].transpose(2, 1, 0).reshape(B_rows * C, T)
+        flag0 = jnp.full((fl.shape[0], 1), bool(self.prog.nullable), bool)
+        return jnp.concatenate([flag0, fl > 0], axis=1)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _flags_call_b(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r):
+        G, lanes = self.Gp, self.lanes
+        C = self.at.shape[0]
+        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _flags_kernel_b,
+            seeded=seeded,
+            n_seed=2,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec,
+                _full_spec((lanes, lanes)),
+                _full_spec((C, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, C, B_blk), lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, C, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(lenT, tm, self.ft, self.at, self.seed)
+
+    # -- reverse hits ----------------------------------------------------
+    def reverse_hits_b(self, data, len_g):
+        """[B, T]: some match starts at position max(j-1, 0)."""
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(
+            L, B_rows, B_BLK_FLAGS
+        )
+        lenT = self._lenT(len_g, B_pad)
+        hits = self._reverse_call_b(
+            data, lenT, L, T_pad, B_pad, B_blk, T_chunk, r
+        )  # [T_pad, G, B_pad]
+        G = hits.shape[1]
+        h = hits[:T, :, :B_rows].transpose(2, 1, 0).reshape(B_rows * G, T)
+        return h > 0
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _reverse_call_b(self, data, lenT, L, T_pad, B_pad, B_blk, T_chunk, r):
+        G, lanes = self.Gp, self.lanes
+        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _reverse_kernel_b,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec,
+                _full_spec((lanes, lanes)),
+                _full_spec((G, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, G, B_blk),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, G, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(lenT, tm, self.f, self.sg, self.acc)
+
+    # -- anchored rescan (lazy first end / greedy last end) --------------
+    def anchor_end_b(self, data, len_g, starts_g, *, longest: bool):
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows)
+        lenT = self._lenT(len_g, B_pad)
+        startsT = jnp.pad(
+            jnp.transpose(jnp.asarray(starts_g), (1, 0)),
+            ((0, 0), (0, B_pad - B_rows)),
+            constant_values=-1,
+        )
+        end = self._anchor_call_b(
+            data, lenT, startsT, longest, L, T_pad, B_pad, B_blk, T_chunk, r
+        )
+        return jnp.transpose(end[:, :B_rows], (1, 0))
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "longest", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _anchor_call_b(
+        self, data, lenT, startsT, longest, L, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        G, lanes = self.Gp, self.lanes
+        assert self.at.shape[0] == G, "anchored rescan is per-record"
+        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _anchor_end_kernel_b,
+            longest=longest,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                gspec,
+                dspec,
+                _full_spec((lanes, lanes)),
+                _full_spec((G, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=gspec,
+            out_shape=jax.ShapeDtypeStruct((G, B_pad), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, B_blk), DTYPE),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(lenT, startsT, tm, self.ft, self.at, self.seed)
+
+    cls._geom_b = _geom_b
+    cls._lenT = _lenT
+    cls.match_stats_b = match_stats_b
+    cls._match_call_b = _match_call_b
+    cls.forward_flags_b = forward_flags_b
+    cls._flags_call_b = _flags_call_b
+    cls.reverse_hits_b = reverse_hits_b
+    cls._reverse_call_b = _reverse_call_b
+    cls.anchor_end_b = anchor_end_b
+    cls._anchor_call_b = _anchor_call_b
+
+
+def _add_sparse_byte_path(cls):
+    """Sparse-tier overrides of the jitted byte-path calls (the wrappers
+    above are inherited; only the pallas_call bodies differ)."""
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _match_call_b(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r):
+        lanes = self.lanes
+        C = self.at1.shape[0]
+        npart = self.pb.shape[0]
+        nbk = lanes // 128
+        tm = _time_major(data, 1, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _sparse_match_kernel_b,
+            seeded=seeded,
+            nullable=self.nullable,
+            n_seed=2,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            groups=self.groups,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((1, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((C, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec,
+                _full_spec((npart, 128, 128)),
+                _full_spec((nbk, nbk)),
+                _full_spec((nbk, lanes)),
+                _full_spec((C, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=(cspec,) * 4,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((C, B_pad), jnp.int32) for _ in range(4)
+            ),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)]
+            + [pltpu.VMEM((C, B_blk), jnp.int32)] * 4,
+            interpret=_interpret(),
+        )(lenT, tm, self.pbt, self.ut, self.bsum, self.at1, self.seed)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _flags_call_b(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r):
+        lanes = self.lanes
+        C = self.at1.shape[0]
+        npart = self.pb.shape[0]
+        nbk = lanes // 128
+        tm = _time_major(data, 1, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _sparse_flags_kernel_b,
+            seeded=seeded,
+            n_seed=2,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            groups=self.groups,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((1, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec,
+                _full_spec((npart, 128, 128)),
+                _full_spec((nbk, nbk)),
+                _full_spec((nbk, lanes)),
+                _full_spec((C, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, C, B_blk), lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, C, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(lenT, tm, self.pbt, self.ut, self.bsum, self.at1, self.seed)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _reverse_call_b(self, data, lenT, L, T_pad, B_pad, B_blk, T_chunk, r):
+        lanes = self.lanes
+        npart = self.pb.shape[0]
+        nbk = lanes // 128
+        tm = _time_major(data, 1, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _sparse_reverse_kernel_b,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            rgroups=self.rgroups,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((1, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r, B_blk),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec,
+                _full_spec((npart, 128, 128)),
+                _full_spec((nbk, nbk)),
+                _full_spec((nbk, lanes)),
+                _full_spec((1, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, 1, B_blk),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, 1, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(lenT, tm, self.pb, self.u, self.bsum, self.sg1, self.acc_col)
+
+    cls._match_call_b = _match_call_b
+    cls._flags_call_b = _flags_call_b
+    cls._reverse_call_b = _reverse_call_b
+
+
+_add_byte_path(PallasScanner)
+_add_sparse_byte_path(SparseScanner)
 
 
 # ---------------------------------------------------------------------------

@@ -213,16 +213,21 @@ def match_stats(
     return cnt, first, cnt > 0
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("longest",))
 def first_end_from(
     tables: Tables,
     cls: jnp.ndarray,  # [B, T] int32 stream
     lengths: jnp.ndarray,  # [B]
     starts: jnp.ndarray,  # [B] int32 match-start position per record; -1 = inactive
+    *,
+    longest: bool = False,
 ) -> jnp.ndarray:
     """Anchored scan from a per-record start position: the smallest end e
-    such that text[s:e] matches, else -1. (Nullable patterns are handled by
-    the caller -- their lazy end is always s.)
+    such that text[s:e] matches (lazy policy), or with ``longest=True`` the
+    largest such e (greedy leftmost-longest, the POSIX policy the reference
+    declared but never implemented -- regex.h:150-165, README.md:55); -1 if
+    none. (Nullable patterns are handled by the caller -- their lazy end is
+    always s.)
 
     Seeding rule: start s corresponds to seeding the initial state into the
     input of the step consuming stream column s+1 (and, for s=0, also the
@@ -243,7 +248,10 @@ def first_end_from(
         e = jnp.clip(t, 0, lengths)
         # only accept ends at/after the start (stale flags impossible since
         # v was empty before the seed, but guard anyway)
-        ok = flag & (e >= starts) & (first < 0)
+        if longest:
+            ok = flag & (e >= starts)
+        else:
+            ok = flag & (e >= starts) & (first < 0)
         first = jnp.where(ok, e, first)
         return (v2, first), None
 

@@ -137,6 +137,25 @@ class OracleEngine:
                 return None
         return None
 
+    def last_end_from(self, data: bytes, s: int) -> Optional[int]:
+        """Largest e such that text[s:e] matches (anchored at s), or None.
+        This defines the 'greedy' (leftmost-longest, POSIX) match length —
+        the policy the reference declared but never implemented
+        (README.md:55 "Greedy iterater not greedy", regex.h:150-165)."""
+        D = 1
+        best: Optional[int] = s if (self.accept & 1) else None
+        syms = self._stream(data, s)
+        ends = self._ends_for(data, s)
+        for k, (sym, e) in enumerate(zip(syms, ends)):
+            D = self.step(D, sym)
+            if k == 0 and sym == BOS:
+                D |= 1  # see fullmatch: start 0 exists on both sides of BOS
+            if D & self.accept & ~1:
+                best = e
+            if not D:
+                break
+        return best
+
     def ends(self, text: str | bytes) -> Set[int]:
         """All positions e where *some* match (any start) ends -- the seeded
         forward scan the device 'ends bitmap' kernel must reproduce."""
@@ -175,19 +194,24 @@ class OracleEngine:
         data = _as_bytes(text)
         return self.first_end_from(data, 0)
 
-    def finditer(self, text: str | bytes) -> Iterator[Tuple[int, int]]:
-        """Lazy, non-overlapping span enumeration (normative policy).
+    def finditer(
+        self, text: str | bytes, *, longest: bool = False
+    ) -> Iterator[Tuple[int, int]]:
+        """Non-overlapping span enumeration (normative policies).
 
-        Leftmost start; shortest end for that start; empty matches advance
-        the scan position by one (like Python ``re``).
+        Leftmost start; for that start the shortest end (lazy, default) or
+        the longest end (``longest=True``, greedy leftmost-longest — POSIX
+        semantics). Empty matches advance the scan position by one (like
+        Python ``re``).
         """
         data = _as_bytes(text)
         n = len(data)
+        pick = self.last_end_from if longest else self.first_end_from
         pos = 0
         while pos <= n:
             hit = None
             for s in range(pos, n + 1):
-                e = self.first_end_from(data, s)
+                e = pick(data, s)
                 if e is not None:
                     hit = (s, e)
                     break
@@ -197,8 +221,10 @@ class OracleEngine:
             s, e = hit
             pos = e if e > s else s + 1
 
-    def findall(self, text: str | bytes) -> List[Tuple[int, int]]:
-        return list(self.finditer(text))
+    def findall(
+        self, text: str | bytes, *, longest: bool = False
+    ) -> List[Tuple[int, int]]:
+        return list(self.finditer(text, longest=longest))
 
 
 def _as_bytes(text: str | bytes) -> bytes:

@@ -100,15 +100,16 @@ class DistScanner:
                 d = jnp.pad(d, ((0, Bp - B0), (0, 0)))
                 l = jnp.pad(l, (0, Bp - B0))
             len_g = l.reshape(-1, G)
-            words = spk.mask_stream_from_bytes(
-                tables, d, len_g, s_tile=prog.s_tile, G=prog.G,
-                n_runs=self.n_runs, kernel_layout=self._plk is not None,
-            )
             if self._plk is not None:
-                cnt, first, anym = self._plk.match_stats(
-                    words, len_g, seeded=seeded, layout="kernel"
+                # fused byte->mask pallas path: no HBM mask stream
+                cnt, first, _, _, anym = self._plk.match_stats_b(
+                    d, len_g, seeded=seeded
                 )
             else:
+                words = spk.mask_stream_from_bytes(
+                    tables, d, len_g, s_tile=prog.s_tile, G=prog.G,
+                    n_runs=self.n_runs, kernel_layout=False,
+                )
                 cnt, first, anym = spk.match_stats(
                     tables, words, len_g, seeded=seeded,
                     nullable=prog.nullable, lanes=prog.lanes,
