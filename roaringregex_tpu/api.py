@@ -150,11 +150,20 @@ class Pattern:
         """Non-overlapping spans for every record: lazy (leftmost-shortest,
         default) or greedy (``longest=True``, leftmost-longest — POSIX).
 
-        One reverse scan finds all candidate starts; then rounds of batched
-        anchored scans resolve each record's next span (all records advance
-        in lockstep, so device work is O(max_matches * T) regardless of B).
+        On the pallas backend (dense tiers) the whole enumeration runs on
+        device in O(1) dispatches: the lazy policy as a single span kernel
+        (claim/anchor/emit in-kernel after one reverse pass), the greedy
+        policy as a device-side while_loop of longest-end rescans. Other
+        backends use host-driven rounds of batched anchored scans.
         """
         data, lengths, B, maxlen = self._pack(texts)
+        eng = self.engine
+        if (
+            eng._pallas is not None
+            and self.program.tier != "sparse"
+            and eng._pallas.at.shape[0] == self.program.G
+        ):
+            return self._finditer_device(data, lengths, B, maxlen, longest)
         bm = self.engine.starts_bitmap(data, lengths, maxlen)  # [Bp, maxlen+1]
         nullable = self.program.nullable
         Bp = bm.shape[0]
@@ -193,6 +202,38 @@ class Pattern:
                 if pos[i] > lengths[i]:
                     active[i] = False
         return spans[:B]
+
+    def _finditer_device(self, data, lengths, B, maxlen, longest):
+        """Device-side span enumeration (see finditer_batch)."""
+        eng = self.engine
+        len_g = np.asarray(lengths).reshape(-1, self.program.G)
+        nullable = self.program.nullable
+        if nullable and not longest:
+            # lazy spans of a nullable pattern: the empty match at every
+            # position (shortest end == start, advance by one)
+            return [
+                [(p, p) for p in range(int(lengths[i]) + 1)] for i in range(B)
+            ]
+        cap = min(_pow2(8), maxlen + 1) if maxlen else 1
+        while True:
+            if longest:
+                s_buf, e_buf, cnt, over = eng._pallas.greedy_spans_b(
+                    data, len_g, cap=cap
+                )
+                need_retry = bool(np.asarray(over)[: B].any())
+            else:
+                s_buf, e_buf, cnt = eng._pallas.lazy_spans_b(
+                    data, len_g, cap=cap
+                )
+                need_retry = bool((np.asarray(cnt)[:B] > cap).any())
+            if not need_retry or cap > maxlen:
+                break
+            cap = min(_pow2(cap * 4), maxlen + 1)
+        s_np, e_np, c_np = np.asarray(s_buf), np.asarray(e_buf), np.asarray(cnt)
+        return [
+            list(zip(s_np[i, : c_np[i]].tolist(), e_np[i, : c_np[i]].tolist()))
+            for i in range(B)
+        ]
 
     def grep(self, lines: Sequence[TextLike]) -> List[int]:
         """Indices of records containing a match (the grep-style entry)."""

@@ -109,6 +109,12 @@ def main(argv=None) -> int:
     if len(patterns) > 1 and (args.only_spans or args.fullmatch or args.dump):
         print("rrx: -o/--fullmatch/--dump take a single pattern", file=sys.stderr)
         return 2
+    if args.only_spans and (args.invert_match or args.fullmatch):
+        # GNU grep prints nothing for -o -v; -o under --fullmatch would lie
+        # (lazy spans != the fullmatch span). Reject loudly instead.
+        print("rrx: -o cannot be combined with -v or --fullmatch",
+              file=sys.stderr)
+        return 2
 
     t0 = time.perf_counter()
     multi = None

@@ -59,7 +59,11 @@ def _load() -> Optional[ct.CDLL]:
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        path = ensure_built(build=os.environ.get("RRX_NATIVE", "1") != "0")
+        from ..utils.config import get_config
+
+        if not get_config().native:
+            return None  # disabled by config; not cached as failure
+        path = ensure_built(build=True)
         if path is None:
             _lib_failed = True
             return None

@@ -53,13 +53,10 @@ BLOCK = 128  # MXU-native block edge
 # 2*128*128.
 TILES = (8, 16, 32, 64, 128, 256, 384, 512, 640, 768, 896, 1024)
 
-# Largest state count with fully dense device tables; past this the
+# Default largest state count with fully dense device tables; past this the
 # block-sparse tier takes over (the CRoaring-tier analog, SURVEY.md SS2.2).
+# Overridable via RrxConfig.dense_max / RRX_DENSE_MAX.
 DENSE_MAX = 1024
-
-# Threshold constant for the fused matmul trick: must exceed max possible
-# row sum of v @ F, i.e. the padded state count of the largest dense tier.
-FUSE_K = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -240,11 +237,14 @@ def compile_program(pattern_or_nfa) -> DeviceProgram:
     S = nfa.n_states
 
     # ---- tier selection (reference analog: Parser.cpp:165-168) ----
+    from ..utils.config import get_config
+
+    dense_max = min(get_config().dense_max, max(TILES))
     if S <= BLOCK:
         tier, s_pad = "dense128", BLOCK
     elif S <= 2 * BLOCK:
         tier, s_pad = "dense256", 2 * BLOCK
-    elif S <= DENSE_MAX:
+    elif S <= dense_max:
         tier, s_pad = "multiblock", _round_up(S, BLOCK)
     else:
         tier, s_pad = "sparse", _round_up(S, BLOCK)

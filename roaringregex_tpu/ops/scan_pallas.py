@@ -1197,6 +1197,7 @@ def _reverse_kernel_b(
     spec,
 ):
     j = pl.program_id(1)
+    nT = pl.num_programs(1)
     G = len_ref.shape[0]
     B = r_s.shape[1]
     acc_col = jnp.broadcast_to(acc_ref[:], (lanes, B)).astype(DTYPE)
@@ -1211,7 +1212,8 @@ def _reverse_kernel_b(
         slab = data_ref[iq]
         for m in reversed(range(r)):
             d = slab[m * G : (m + 1) * G]
-            tg = j * T_chunk + iq * r + m
+            # grid step j processes chunk nT-1-j (back-to-front walk)
+            tg = (nT - 1 - j) * T_chunk + iq * r + m
             R = jnp.maximum(r_s[:], acc_col)
             bits = _bits_from_bytes(
                 d, tg, lens, spec, s_tile=s_tile, G=G, B=B
@@ -1308,6 +1310,89 @@ def _anchor_end_kernel_b(
     @pl.when(j == nT - 1)
     def _out():
         end_out[:] = end_s[:]
+
+
+def _span_kernel_b(
+    len_ref,  # [G, B] int32
+    hits_ref,  # [T_chunk, G, B] int8: candidate-start stream (reverse pass)
+    data_ref,  # [T_chunk // r, r * G, B] uint8
+    ft_ref,
+    at_ref,  # [G, lanes]
+    seed_ref,
+    ev_out,  # [T_chunk, G, B] int32: span start + 1 at its emit step, else 0
+    v_s,
+    pos_s,  # [G, B] int32: next allowed start position
+    cur_s,  # [G, B] int32: active anchored start (-1 idle)
+    *,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+):
+    """One-pass lazy (leftmost-shortest, non-overlapping) span enumeration.
+
+    Non-overlap makes the anchored rescans of successive spans disjoint in
+    time, so a single forward walk suffices: claim the first candidate
+    start >= pos when idle, run the anchored automaton, emit at its first
+    accept, reset, repeat — the whole per-record matching loop of
+    finditer_batch inside one kernel (SURVEY.md §7.3 span extraction; the
+    capability the reference's empty Iterator.cpp was meant to hold).
+    Requires a non-nullable pattern (nullable lazy spans are the trivial
+    all-positions set, handled by the caller).
+    """
+    j = pl.program_id(1)
+    G = len_ref.shape[0]
+    B = v_s.shape[1]
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((lanes, B), DTYPE)
+        pos_s[:] = jnp.zeros((G, B), jnp.int32)
+        cur_s[:] = jnp.full((G, B), -1, jnp.int32)
+
+    def body(i, _):
+        slab = data_ref[i]
+        for m in range(r):
+            d = slab[m * G : (m + 1) * G]
+            tg = j * T_chunk + i * r + m
+            hit = hits_ref[i * r + m] > 0
+            sp = jnp.maximum(tg - 1, 0)
+            cur = cur_s[:]
+            claim = (cur < 0) & hit & (sp >= pos_s[:]) & (sp <= lens)
+            cur = jnp.where(claim, sp, cur)
+            gate = ((cur == tg - 1) | ((cur == 0) & (tg <= 1))) & (cur >= 0)
+            gl = jnp.broadcast_to(
+                gate.astype(DTYPE)[:, None, :], (G, s_tile, B)
+            ).reshape(lanes, B)
+            v = jnp.maximum(v_s[:], gl * seed_col)
+            y = jnp.dot(
+                ft_ref[:], v, preferred_element_type=jnp.float32
+            ).astype(jnp.float32)
+            bits = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            )
+            v2 = ((y > 0) & bits).astype(DTYPE)
+            fl = (
+                jnp.dot(
+                    at_ref[:], v2, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            e = jnp.minimum(tg, lens)
+            done = fl & (cur >= 0) & (e >= cur)
+            ev_out[i * r + m] = jnp.where(done, cur + 1, 0)
+            pos_s[:] = jnp.where(done, jnp.maximum(e, cur + 1), pos_s[:])
+            cur_s[:] = jnp.where(done, -1, cur)
+            dl = jnp.broadcast_to(
+                done[:, None, :], (G, s_tile, B)
+            ).reshape(lanes, B)
+            v_s[:] = jnp.where(dl, jnp.zeros_like(v2), v2)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
 
 
 def _sparse_match_kernel_b(
@@ -1483,6 +1568,7 @@ def _sparse_reverse_kernel_b(
     spec,
 ):
     j = pl.program_id(1)
+    nT = pl.num_programs(1)
     B = r_s.shape[1]
     nb = lanes // 128
     acc_col = jnp.broadcast_to(acc_ref[:], (lanes, B)).astype(DTYPE)
@@ -1497,7 +1583,8 @@ def _sparse_reverse_kernel_b(
         slab = data_ref[iq]
         for m in reversed(range(r)):
             d = slab[m : m + 1]
-            tg = j * T_chunk + iq * r + m
+            # grid step j processes chunk nT-1-j (back-to-front walk)
+            tg = (nT - 1 - j) * T_chunk + iq * r + m
             R = jnp.maximum(r_s[:], acc_col)
             bits = _bits_from_bytes(d, tg, lens, spec, s_tile=lanes, G=1, B=B)
             masked = ((R.astype(jnp.float32) > 0) & bits).astype(DTYPE)
@@ -1539,11 +1626,14 @@ def _full_spec(shape):
 
 def _add_byte_path(cls):
     def _geom_b(self, L: int, B_rows: int, b_blk_max: int = B_BLK_MAX):
+        from ..utils.config import get_config
+
+        cfg = get_config()
         T = L + 2
         b_cap, t_cap = self._blk_limits(b_blk_max)
         B_blk = min(b_cap, _round_up(max(B_rows, 1), 128))
         B_pad = _round_up(max(B_rows, 1), B_blk)
-        r = max(1, min(32 // max(self.Gp, 1), 8))
+        r = cfg.slab_r or max(1, min(32 // max(self.Gp, 1), 8))
         T_chunk = min(t_cap, max(r, _round_up(T, 8)))
         T_chunk = _round_up(T_chunk, r)
         T_pad = _round_up(T, T_chunk)
@@ -1699,15 +1789,9 @@ def _add_byte_path(cls):
         h = hits[:T, :, :B_rows].transpose(2, 1, 0).reshape(B_rows * G, T)
         return h > 0
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=(
-            "self", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
-        ),
-    )
-    def _reverse_call_b(self, data, lenT, L, T_pad, B_pad, B_blk, T_chunk, r):
+    def _reverse_pl(self, tm, lenT, T_pad, B_pad, B_blk, T_chunk, r):
+        """Traced reverse pallas_call from an already time-major array."""
         G, lanes = self.Gp, self.lanes
-        tm = _time_major(data, G, L, T_pad, B_pad, r)
         nB, nT = B_pad // B_blk, T_pad // T_chunk
         kernel = functools.partial(
             _reverse_kernel_b,
@@ -1743,6 +1827,16 @@ def _add_byte_path(cls):
             interpret=_interpret(),
         )(lenT, tm, self.f, self.sg, self.acc)
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _reverse_call_b(self, data, lenT, L, T_pad, B_pad, B_blk, T_chunk, r):
+        tm = _time_major(data, self.Gp, L, T_pad, B_pad, r)
+        return self._reverse_pl(tm, lenT, T_pad, B_pad, B_blk, T_chunk, r)
+
     # -- anchored rescan (lazy first end / greedy last end) --------------
     def anchor_end_b(self, data, len_g, starts_g, *, longest: bool):
         data = jnp.asarray(data)
@@ -1760,18 +1854,12 @@ def _add_byte_path(cls):
         )
         return jnp.transpose(end[:, :B_rows], (1, 0))
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=(
-            "self", "longest", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
-        ),
-    )
-    def _anchor_call_b(
-        self, data, lenT, startsT, longest, L, T_pad, B_pad, B_blk, T_chunk, r
+    def _anchor_pl(
+        self, tm, lenT, startsT, longest, T_pad, B_pad, B_blk, T_chunk, r
     ):
+        """Traced anchored-rescan pallas_call from a time-major array."""
         G, lanes = self.Gp, self.lanes
         assert self.at.shape[0] == G, "anchored rescan is per-record"
-        tm = _time_major(data, G, L, T_pad, B_pad, r)
         nB, nT = B_pad // B_blk, T_pad // T_chunk
         kernel = functools.partial(
             _anchor_end_kernel_b,
@@ -1807,6 +1895,195 @@ def _add_byte_path(cls):
             interpret=_interpret(),
         )(lenT, startsT, tm, self.ft, self.at, self.seed)
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "longest", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _anchor_call_b(
+        self, data, lenT, startsT, longest, L, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        tm = _time_major(data, self.Gp, L, T_pad, B_pad, r)
+        return self._anchor_pl(
+            tm, lenT, startsT, longest, T_pad, B_pad, B_blk, T_chunk, r
+        )
+
+    # -- device-side span enumeration ------------------------------------
+    def lazy_spans_b(self, data, len_g, *, cap: int):
+        """Lazy non-overlapping spans, fully on device in O(1) dispatches:
+        one reverse pass (candidate starts), one span pass (claim/anchor/
+        emit in-kernel), one XLA compaction into fixed-capacity buffers.
+
+        Returns (starts [B, cap], ends [B, cap], count [B]) — count is the
+        exact total, so count > cap signals the caller to re-run with a
+        larger cap. Non-nullable patterns only.
+        """
+        assert not self.nullable, "nullable lazy spans are trivial"
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(
+            L, B_rows, B_BLK_FLAGS
+        )
+        lenT = self._lenT(len_g, B_pad)
+        return self._spans_call_b(
+            data, lenT, cap, L, T, T_pad, B_pad, B_blk, T_chunk, r
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "cap", "L", "T", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _spans_call_b(
+        self, data, lenT, cap, L, T, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        G, lanes = self.Gp, self.lanes
+        B_rows = data.shape[0] // G
+        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        hits = self._reverse_pl(tm, lenT, T_pad, B_pad, B_blk, T_chunk, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _span_kernel_b,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        hspec = pl.BlockSpec(
+            (T_chunk, G, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        ev = pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                hspec,
+                dspec,
+                _full_spec((lanes, lanes)),
+                _full_spec((G, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, G, B_blk), lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, G, B_pad), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, B_blk), DTYPE),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(lenT, hits, tm, self.ft, self.at, self.seed)
+        # compaction: event stream -> fixed-capacity span buffers
+        Bn = B_rows * G
+        ev2 = ev[:T, :, :B_rows].transpose(2, 1, 0).reshape(Bn, T)
+        lens = jnp.asarray(lenT)[:, :B_rows].transpose(1, 0).reshape(Bn)
+        mask = ev2 > 0
+        idx = jnp.cumsum(mask, axis=1) - 1
+        cnt = mask.sum(axis=1)
+        kk = jnp.where(mask & (idx < cap), idx, cap)
+        b = jnp.arange(Bn)[:, None]
+        neg = jnp.full((Bn, cap + 1), -1, jnp.int32)
+        starts = neg.at[b, kk].max(jnp.where(mask, ev2 - 1, -1))
+        e_val = jnp.minimum(jnp.arange(T)[None, :], lens[:, None])
+        ends = neg.at[b, kk].max(jnp.where(mask, e_val, -1))
+        return starts[:, :cap], ends[:, :cap], cnt
+
+    def greedy_spans_b(self, data, len_g, *, cap: int):
+        """Greedy (leftmost-longest) spans on device: one reverse pass for
+        the candidate-start bitmap, then a lax.while_loop of anchored
+        longest-end rescans — O(1) host dispatches, rounds on device.
+
+        Returns (starts [B, cap], ends [B, cap], count [B], overflow [B]);
+        overflow records still had active scans when cap was reached.
+        """
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(
+            L, B_rows, B_BLK_FLAGS
+        )
+        lenT = self._lenT(len_g, B_pad)
+        return self._greedy_call_b(
+            data, lenT, cap, L, T, T_pad, B_pad, B_blk, T_chunk, r
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "cap", "L", "T", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _greedy_call_b(
+        self, data, lenT, cap, L, T, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        G = self.Gp
+        B_rows = data.shape[0] // G
+        Bn = B_rows * G
+        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        hits = self._reverse_pl(tm, lenT, T_pad, B_pad, B_blk, T_chunk, r)
+        h2 = hits[:T, :, :B_rows].transpose(2, 1, 0).reshape(Bn, T) > 0
+        lens = jnp.asarray(lenT)[:, :B_rows].transpose(1, 0).reshape(Bn)
+        # starts bitmap: hit at stream col j = start at max(j-1, 0)
+        sbm = jnp.zeros((Bn, L + 1), bool)
+        s_of_col = jnp.minimum(jnp.maximum(jnp.arange(T) - 1, 0), L)
+        sbm = sbm.at[jnp.arange(Bn)[:, None], s_of_col[None, :]].max(h2)
+        if self.nullable:
+            sbm = sbm | (jnp.arange(L + 1)[None, :] <= lens[:, None])
+        cols = jnp.arange(L + 1)[None, :]
+        neg = jnp.full((Bn, cap + 1), -1, jnp.int32)
+
+        def cond(st):
+            k, pos, active, _, _, ki = st
+            return jnp.any(active) & (k < cap)
+
+        def body(st):
+            k, pos, active, sbuf, ebuf, ki = st
+            m = sbm & (cols >= pos[:, None]) & (cols <= lens[:, None])
+            m = m & active[:, None]
+            has = m.any(axis=1)
+            s = jnp.where(has, jnp.argmax(m, axis=1), -1).astype(jnp.int32)
+            active = active & has
+            sT = jnp.pad(
+                s.reshape(B_rows, G).transpose(1, 0),
+                ((0, 0), (0, B_pad - B_rows)),
+                constant_values=-1,
+            )
+            e = self._anchor_pl(
+                tm, lenT, sT, True, T_pad, B_pad, B_blk, T_chunk, r
+            )
+            e = jnp.transpose(e[:, :B_rows], (1, 0)).reshape(Bn)
+            if self.nullable:
+                e = jnp.where(e < s, s, e)  # empty match fallback
+            emit = active & (e >= s)
+            kk = jnp.where(emit, ki, cap)
+            bb = jnp.arange(Bn)
+            sbuf = sbuf.at[bb, kk].set(jnp.where(emit, s, -1))
+            ebuf = ebuf.at[bb, kk].set(jnp.where(emit, e, -1))
+            pos = jnp.where(emit, jnp.maximum(e, s + 1), pos)
+            ki = ki + emit.astype(jnp.int32)
+            active = active & emit & (pos <= lens)
+            return k + 1, pos, active, sbuf, ebuf, ki
+
+        k0 = jnp.asarray(0, jnp.int32)
+        pos0 = jnp.zeros(Bn, jnp.int32)
+        act0 = jnp.ones(Bn, bool)
+        st = jax.lax.while_loop(
+            cond, body, (k0, pos0, act0, neg, neg, jnp.zeros(Bn, jnp.int32))
+        )
+        _, _, active, sbuf, ebuf, ki = st
+        return sbuf[:, :cap], ebuf[:, :cap], ki, active
+
     cls._geom_b = _geom_b
     cls._lenT = _lenT
     cls.match_stats_b = match_stats_b
@@ -1814,9 +2091,15 @@ def _add_byte_path(cls):
     cls.forward_flags_b = forward_flags_b
     cls._flags_call_b = _flags_call_b
     cls.reverse_hits_b = reverse_hits_b
+    cls._reverse_pl = _reverse_pl
     cls._reverse_call_b = _reverse_call_b
     cls.anchor_end_b = anchor_end_b
+    cls._anchor_pl = _anchor_pl
     cls._anchor_call_b = _anchor_call_b
+    cls.lazy_spans_b = lazy_spans_b
+    cls._spans_call_b = _spans_call_b
+    cls.greedy_spans_b = greedy_spans_b
+    cls._greedy_call_b = _greedy_call_b
 
 
 def _add_sparse_byte_path(cls):

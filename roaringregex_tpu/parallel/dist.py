@@ -64,8 +64,9 @@ class DistScanner:
     """Mesh-wide scanner: replicated tables, sharded records, psum'd stats.
 
     Owns jit caches for the shard_map'd scan functions. All entry points
-    take **already encoded** class streams (see ``ScanEngine.encode``) so the
-    byte->class translation also runs sharded on device.
+    take **raw [B, L] uint8 byte batches** plus lengths; the byte->mask
+    translation runs sharded on device (fused into the pallas kernels on
+    TPU, via mask_stream_from_bytes elsewhere).
     """
 
     def __init__(self, prog: DeviceProgram, mesh: Mesh, axis: str = DATA_AXIS):
@@ -183,12 +184,15 @@ class DistScanner:
         self, text_bytes, *, block: int = 4096, seeded: bool = True
     ) -> np.ndarray:
         """Block-parallel scan of one long string with the blocks sharded
-        over the data axis (the cross-chip sequence-parallel path):
+        over the data axis — ONE jitted SPMD program end to end:
 
         1. per-shard block summaries (affine (M, s) pairs) — parallel, no
            communication;
-        2. summaries gathered (tiny: nb x S^2 bf16) and prefix-combined;
-        3. entry states scattered back; per-shard replay — parallel.
+        2. ``lax.all_gather`` of the tiny [nb, S, S] summary tensor (the
+           only data that crosses chips — ICI within a slice, DCN across
+           hosts) + replicated associative prefix combine;
+        3. each shard slices its blocks' entry states and replays — no
+           host round trip between stages, one dispatch total.
 
         Returns flags [T = len+2] (the ops/longstring.py convention).
         """
@@ -197,77 +201,62 @@ class DistScanner:
         from ..ops import longstring as ls
 
         prog = self.prog
-        from ..ops import longstring as _ls
-
-        tables = _ls.compact_tables(prog) if self.dense else self.tables
+        tables = ls.compact_tables(prog) if self.dense else self.tables
         n = len(text_bytes)
         data = _np.frombuffer(bytes(text_bytes), dtype=_np.uint8)
-        cls = _np.asarray(
-            sx.encode_stream(
-                tables,
-                jnp.asarray(data)[None, :],
-                jnp.asarray([n]),
-                prog.bos_class,
-                prog.eos_class,
-                prog.dead_class,
-            )
+        cls = sx.encode_stream(
+            tables,
+            jnp.asarray(data)[None, :],
+            jnp.asarray([n]),
+            prog.bos_class,
+            prog.eos_class,
+            prog.dead_class,
         )[0]
         T = cls.shape[0]
         D = self.mesh.devices.size
         nb = -(-T // block)
         nb = ((nb + D - 1) // D) * D  # block count divisible by mesh size
-        cls_b = _np.zeros((nb, block), _np.int32)
-        cls_b.reshape(-1)[:T] = cls
-        first_gate = (_np.arange(nb) == 0).astype(_np.float32)
+        cls_b = jnp.pad(cls, (0, nb * block - T)).reshape(nb, block)
+        first_gate = (jnp.arange(nb) == 0).astype(jnp.float32)
         shard2 = NamedSharding(self.mesh, P(self.axis, None))
         shard1 = NamedSharding(self.mesh, P(self.axis))
         cls_sharded = jax.device_put(cls_b, shard2)
         fg_sharded = jax.device_put(first_gate, shard1)
-
+        tb_rep = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), tables
+        )
         s_pad = int(tables["accept"].shape[0])
+        flags_b = self._long_flags_spmd(
+            tb_rep, cls_sharded, fg_sharded, s_pad=s_pad, seeded=seeded
+        )
+        return np.asarray(flags_b).reshape(-1)[:T]
+
+    @functools.partial(jax.jit, static_argnames=("self", "s_pad", "seeded"))
+    def _long_flags_spmd(self, tables, cls_b, first_gate, *, s_pad, seeded):
+        from ..ops import longstring as ls
+
+        axis = self.axis
 
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(P(), self._spec_in, self._spec_v),
-            out_specs=(self._spec_in, self._spec_in),
-            check_vma=False,
-        )
-        def _summaries(tb, cb, fg):
-            Ms, ss = ls.block_summaries(
-                tb, cb, fg, s_pad=s_pad, seeded=seeded
-            )
-            return Ms.reshape(cb.shape[0], -1), ss
-
-        @functools.partial(
-            jax.shard_map,
-            mesh=self.mesh,
-            in_specs=(P(), self._spec_in, self._spec_in, self._spec_v),
             out_specs=self._spec_in,
             check_vma=False,
         )
-        def _replay(tb, cb, ve, fg):
-            return ls.block_replay(tb, cb, ve, fg, seeded=seeded)
+        def _go(tb, cb, fg):
+            nb_l = cb.shape[0]
+            Ms, ss = ls.block_summaries(tb, cb, fg, s_pad=s_pad, seeded=seeded)
+            Ms_all = jax.lax.all_gather(Ms, axis, tiled=True)  # [nb, S, S]
+            ss_all = jax.lax.all_gather(ss, axis, tiled=True)  # [nb, S]
+            ventry = ls.prefix_entries(Ms_all, ss_all)  # replicated compute
+            idx = jax.lax.axis_index(axis)
+            ve_local = jax.lax.dynamic_slice_in_dim(
+                ventry, idx * nb_l, nb_l, 0
+            )
+            return ls.block_replay(tb, cb, ve_local, fg, seeded=seeded)
 
-        tb_rep = jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), tables
-        )
-        # stage 1: shard-local summaries (no communication)
-        Ms_flat, ss = _summaries(tb_rep, cls_sharded, fg_sharded)
-        # stage 2: prefix combine on the tiny replicated summary tensor —
-        # the only data that crosses chips
-        Ms_rep = jax.device_put(
-            np.asarray(Ms_flat).reshape(nb, s_pad, s_pad),
-            NamedSharding(self.mesh, P()),
-        )
-        ss_rep = jax.device_put(np.asarray(ss), NamedSharding(self.mesh, P()))
-        ventry = ls.prefix_entries(Ms_rep, ss_rep)
-        ventry_sh = jax.device_put(np.asarray(ventry, _np.float32), shard2)
-        # stage 3: shard-local replay
-        flags_b = _np.asarray(
-            _replay(tb_rep, cls_sharded, ventry_sh, fg_sharded)
-        )
-        return flags_b.reshape(-1)[:T]
+        return _go(tables, cls_b, first_gate)
 
     def long_count(self, text_bytes, *, block: int = 4096) -> int:
         """Distinct match-end positions in one sharded long string."""

@@ -33,6 +33,9 @@ class RrxConfig:
     # kernel geometry caps (scan_pallas)
     b_blk_max: int = field(default_factory=lambda: _env_int("RRX_B_BLK", 2048))
     t_chunk_max: int = field(default_factory=lambda: _env_int("RRX_T_CHUNK", 128))
+    # byte-slab unroll (steps per fori iteration in the fused byte kernels);
+    # 0 = auto (fill the 32-sublane int8 tile, capped at 8)
+    slab_r: int = field(default_factory=lambda: _env_int("RRX_SLAB_R", 0))
     # long-string mode block length
     long_block: int = field(default_factory=lambda: _env_int("RRX_LONG_BLOCK", 4096))
     # sparse-tier VMEM caps (partial containers / lane width)

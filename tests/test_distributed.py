@@ -67,8 +67,9 @@ def test_per_record_sharding_and_values(mesh):
     data, lengths = _pack(recs, 16, 16)
     d, l = shard_batch(mesh, data, lengths)
     cnt, first, anym = scanner.per_record(d, l, seeded=True)
-    # results stay sharded over the data axis
-    assert "data" in str(jax.typeof(cnt).sharding.spec) or True
+    # results stay sharded over the data axis (concrete array sharding;
+    # jax.typeof's aval spec is unset under auto sharding on CPU meshes)
+    assert "data" in str(cnt.sharding.spec)
     for i, r in enumerate(recs):
         ends = oracle.ends(r)
         assert int(np.asarray(cnt)[i]) == len(ends), (i, r)

@@ -143,6 +143,40 @@ def test_greedy_anchor_end(pattern):
         assert le[i] == want_last, (pattern, t, s, le[i], want_last)
 
 
+def test_bytes_multi_chunk_grid():
+    """T and B big enough to force several grid chunks in both dimensions —
+    the reverse walk must map grid step j to chunk nT-1-j when computing
+    stream positions (regression: EOS overlay landed on the wrong chunk)."""
+    prog = compile_program("cat|dog")
+    tab_p = sp.packed_tables(prog)
+    scanner = spl.PallasScanner(prog, tab_p)
+    tab_u = sx.device_tables(prog)
+    rng = np.random.default_rng(3)
+    G = prog.G
+    B, L = 64 * G, 600  # B_rows=64, T=602 -> several T chunks
+    data = rng.integers(97, 123, size=(B, L), dtype=np.uint8)
+    lengths = rng.integers(0, L + 1, size=B).astype(np.int32)
+    cls = sx.encode_stream(
+        tab_u, jnp.asarray(data), jnp.asarray(lengths),
+        prog.bos_class, prog.eos_class, prog.dead_class,
+    )
+    words = sp.pack_mask_stream(tab_p, cls, s_tile=prog.s_tile, G=prog.G)
+    len_g = jnp.asarray(lengths).reshape(-1, G)
+    cs, fs, _ = scanner.match_stats(words, len_g, seeded=True)
+    cb, fb, _, _, _ = scanner.match_stats_b(jnp.asarray(data), len_g, seeded=True)
+    np.testing.assert_array_equal(np.asarray(cs), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(fb))
+    hs = np.asarray(scanner.reverse_hits(words))
+    hb = np.asarray(scanner.reverse_hits_b(jnp.asarray(data), len_g))
+    np.testing.assert_array_equal(hs, hb)
+    for seeded in (True, False):
+        fls = np.asarray(scanner.forward_flags(words, seeded=seeded))
+        flb = np.asarray(
+            scanner.forward_flags_b(jnp.asarray(data), len_g, seeded=seeded)
+        )
+        np.testing.assert_array_equal(fls, flb)
+
+
 def test_sparse_bytes_parity():
     """Sparse-tier byte kernels vs the unpacked XLA engine."""
     prog = compile_program("a{3,1200}")
