@@ -93,9 +93,10 @@ class Pattern:
     def tier(self) -> str:
         return self.program.tier
 
-    def dump(self) -> str:
-        """NFA dump (the reference's NFA::print analog, NFA.cc:14-41)."""
-        return self.program.nfa.dump()
+    def dump(self, full: bool = False) -> str:
+        """NFA dump (the reference's NFA::print analog, NFA.cc:14-41);
+        ``full=True`` adds per-state per-symbol fwd+bwd transition rows."""
+        return self.program.nfa.dump(full=full)
 
     # -- batching helpers --------------------------------------------------
     def _pack(self, texts: Sequence[TextLike]):
@@ -302,10 +303,11 @@ class MultiPattern:
     positions disjoint, so a single device scan tracks per-pattern accept
     channels — the multi-pattern grep of BASELINE config 5 without P
     separate passes. Per-record-per-pattern stats come out of the same
-    kernels by widening the accept map from [lanes, G] to [lanes, G*P].
+    kernels by widening the accept map from [lanes, G] to [lanes, G*P],
+    passed first-class to ScanEngine (accept_map / channels_per_record).
 
-    Falls back to per-pattern scans on the sparse tier or non-packed
-    backends (kept simple; the combined automaton usually stays dense).
+    Falls back to per-pattern scans only on the unpacked XLA backend
+    (single accept channel); dense and sparse pallas tiers scan once.
     """
 
     def __init__(self, patterns: Sequence[str], backend: Optional[str] = None):
@@ -320,35 +322,39 @@ class MultiPattern:
         combined, accepts = combine_nfas(nfas)
         self.program = compile_program(combined)
         self._singles: Optional[List[Pattern]] = None
-        self.engine = ScanEngine(self.program, backend=backend)
-        if self.program.tier == "sparse" or self.engine._ptables is None:
-            self._singles = [Pattern(p, backend=backend) for p in self.patterns]
-            return
-        # widen the accept map to G*P channels (channel = g*P + p)
         prog = self.program
-        P, s_tile, G, lanes = self.P, prog.s_tile, prog.G, prog.lanes
-        acc_tile = np.zeros((P, s_tile), np.uint8)
-        for p, aset in enumerate(accepts):
-            for st in aset:
-                if st > 0:  # state 0 handled via nullable correction
-                    acc_tile[p, st] = 1
-        A = np.zeros((lanes, G * P), np.uint8)
-        for g in range(G):
-            for p in range(P):
-                A[g * s_tile : (g + 1) * s_tile, g * P + p] = acc_tile[p]
-        import jax.numpy as jnp
-
-        eng = self.engine
-        eng._nullable = False  # nullable channels corrected below
-        eng._ptables = dict(eng._ptables)
-        eng._ptables["A"] = jnp.asarray(A, jnp.bfloat16)
-        eng._len_channels = lambda lengths: jnp.repeat(
-            jnp.asarray(lengths).reshape(-1, G), P, axis=1
+        P = self.P
+        if prog.tier == "sparse":
+            # accept channels over the padded state lanes (G = 1)
+            A = np.zeros((prog.s_pad, P), np.uint8)
+            for p, aset in enumerate(accepts):
+                for st in aset:
+                    if st > 0:  # state 0 handled via nullable correction
+                        A[st, p] = 1
+        else:
+            # channel = g*P + p over the lane-packed layout
+            s_tile, G, lanes = prog.s_tile, prog.G, prog.lanes
+            acc_tile = np.zeros((P, s_tile), np.uint8)
+            for p, aset in enumerate(accepts):
+                for st in aset:
+                    if st > 0:
+                        acc_tile[p, st] = 1
+            A = np.zeros((lanes, G * P), np.uint8)
+            for g in range(G):
+                for p in range(P):
+                    A[g * s_tile : (g + 1) * s_tile, g * P + p] = acc_tile[p]
+        self.engine = ScanEngine(
+            prog,
+            backend=backend,
+            accept_map=A,
+            channels_per_record=P,
+            nullable=False,  # nullable channels corrected host-side
         )
-        if eng._pallas is not None:
-            eng._pallas.nullable = False
-            eng._pallas.at = jnp.asarray(A.T, jnp.bfloat16)
-            eng._pallas.G = G * P
+        if self.engine._pallas is None and self.engine._ptables is None:
+            # unpacked XLA fallback has a single accept channel
+            self._singles = [Pattern(p, backend=backend) for p in self.patterns]
+        elif prog.tier == "sparse" and self.engine._pallas is None:
+            self._singles = [Pattern(p, backend=backend) for p in self.patterns]
 
     # ------------------------------------------------------------------
     def _pack(self, texts: Sequence[TextLike]):

@@ -82,6 +82,10 @@ def main(argv=None) -> int:
         help="scan each FILE as ONE string (block-parallel long-string mode)",
     )
     ap.add_argument("--dump", action="store_true")
+    ap.add_argument(
+        "--dump-full", action="store_true",
+        help="--dump plus per-state per-symbol fwd+bwd transition rows",
+    )
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--backend", default=None)
     args = ap.parse_args(argv)
@@ -106,7 +110,7 @@ def main(argv=None) -> int:
     if not patterns:
         print("rrx: no pattern given (use PATTERN or -e)", file=sys.stderr)
         return 2
-    if len(patterns) > 1 and (args.only_spans or args.fullmatch or args.dump):
+    if len(patterns) > 1 and (args.only_spans or args.fullmatch or args.dump or args.dump_full):
         print("rrx: -o/--fullmatch/--dump take a single pattern", file=sys.stderr)
         return 2
     if args.only_spans and (args.invert_match or args.fullmatch):
@@ -127,8 +131,8 @@ def main(argv=None) -> int:
     except RegexSyntaxError as e:
         print(f"rrx: invalid pattern: {e}", file=sys.stderr)
         return 2
-    if args.dump:
-        print(pat.dump())
+    if args.dump or args.dump_full:
+        print(pat.dump(full=args.dump_full))
         if not args.files and sys.stdin.isatty():
             return 0
 

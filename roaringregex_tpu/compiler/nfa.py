@@ -278,8 +278,14 @@ class NFA:
     def accept_int(self) -> int:
         return _set_to_int(self.accept_set)
 
-    def dump(self) -> str:
-        """Human-readable NFA dump (the NFA::print analog, NFA.cc:14-41)."""
+    def dump(self, full: bool = False) -> str:
+        """Human-readable NFA dump (the NFA::print analog, NFA.cc:14-41).
+
+        With ``full=True``, also prints the per-state per-symbol forward
+        AND backward transition rows (grouped into maximal symbol runs
+        with identical targets) — the complete row view NFA::print shows
+        for bytes 0..0x7F (NFA.cc:25-40), minus the all-empty rows.
+        """
         lines = [
             f"pattern: {self.pattern!r}",
             f"states: {self.n_states} (state 0 = initial)",
@@ -289,6 +295,52 @@ class NFA:
         for i in range(self.n_states):
             lab = "" if i == 0 else f"  label={_fmt_syms(self.labels[i - 1])}"
             lines.append(f"  {i}: follow={sorted(fs[i])}{lab}")
+        if not full:
+            return "\n".join(lines)
+
+        def sym_name(c: int) -> str:
+            if c == BOS:
+                return "BOS(^)"
+            if c == EOS:
+                return "EOS($)"
+            return repr(chr(c)) if 32 <= c < 127 else f"\\x{c:02x}"
+
+        def runs_of(row):
+            """row: sym -> frozenset targets; yield (lo, hi, targets)."""
+            out = []
+            for c in range(NSYM):
+                t = row.get(c)
+                if not t:
+                    continue
+                if out and out[-1][1] == c - 1 and out[-1][2] == t:
+                    out[-1] = (out[-1][0], c, t)
+                else:
+                    out.append((c, c, t))
+            return out
+
+        B = self.symtab  # [NSYM, S]
+        lines.append("transition rows (fwd: state -byte-> targets; "
+                     "bwd: mirrored predecessor rows):")
+        for i in range(self.n_states):
+            fwd = {}
+            for t in sorted(fs[i]):
+                for c in np.nonzero(B[:, t])[0]:
+                    fwd.setdefault(int(c), set()).add(t)
+            bwd = {}
+            if i > 0:
+                preds = [s for s in range(self.n_states) if i in fs[s]]
+                for c in np.nonzero(B[:, i])[0]:
+                    bwd[int(c)] = set(preds)
+            row_lines = []
+            for lo, hi, t in runs_of(fwd):
+                span = sym_name(lo) if lo == hi else f"{sym_name(lo)}-{sym_name(hi)}"
+                row_lines.append(f"    fwd {span} -> {sorted(t)}")
+            for lo, hi, t in runs_of(bwd):
+                span = sym_name(lo) if lo == hi else f"{sym_name(lo)}-{sym_name(hi)}"
+                row_lines.append(f"    bwd {span} -> {sorted(t)}")
+            if row_lines:
+                lines.append(f"  state {i}:")
+                lines.extend(row_lines)
         return "\n".join(lines)
 
 

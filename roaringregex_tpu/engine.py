@@ -58,7 +58,21 @@ class ScanEngine:
             pass
         cls._cache_enabled = True
 
-    def __init__(self, prog: DeviceProgram, backend: Optional[str] = None):
+    def __init__(
+        self,
+        prog: DeviceProgram,
+        backend: Optional[str] = None,
+        *,
+        accept_map: Optional[np.ndarray] = None,
+        channels_per_record: int = 1,
+        nullable: Optional[bool] = None,
+    ):
+        """``accept_map`` ([lanes, C] 0/1) widens the accept reduction to C
+        accept channels per packed row (C = G * channels_per_record) — the
+        first-class multi-pattern interface (one combined automaton, one
+        scan, per-pattern stats). ``nullable`` overrides the kernel-level
+        nullability (multi-pattern scans disable it and correct nullable
+        channels host-side)."""
         from .utils.config import get_config
 
         cfg = get_config()
@@ -69,9 +83,8 @@ class ScanEngine:
             self.backend = "xla"
         self.tables = sx.device_tables(prog)
         self.n_runs = len(prog.byte_runs[0])
-        # kernel-level nullability (MultiPattern scans override this and
-        # correct nullable channels host-side)
-        self._nullable = prog.nullable
+        self.P = channels_per_record
+        self._nullable = prog.nullable if nullable is None else nullable
         self._ptables = None
         self._pallas = None
         if self.backend == "pallas" and prog.tier == "sparse":
@@ -80,6 +93,16 @@ class ScanEngine:
                 npart > cfg.sparse_partial_max
                 or prog.s_pad > cfg.sparse_lanes_max
             ):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "rrx: sparse automaton (%d partial blocks, %d lanes) "
+                    "exceeds the pallas VMEM caps "
+                    "(sparse_partial_max=%d, sparse_lanes_max=%d); "
+                    "falling back to the XLA backend",
+                    npart, prog.s_pad,
+                    cfg.sparse_partial_max, cfg.sparse_lanes_max,
+                )
                 self.backend = "xla"  # structure too dense for VMEM
             else:
                 from .ops import scan_packed as sp
@@ -87,16 +110,28 @@ class ScanEngine:
 
                 self._sp = sp
                 self._ptables = sp.stream_tables(prog)
-                self._pallas = spl.SparseScanner(prog, self._ptables)
+                self._pallas = spl.SparseScanner(
+                    prog,
+                    self._ptables,
+                    accept_map=accept_map,
+                    nullable=nullable,
+                )
         elif self.backend in ("packed", "pallas"):
             from .ops import scan_packed as sp
 
             self._sp = sp
             self._ptables = sp.packed_tables(prog)
+            if accept_map is not None:
+                import jax.numpy as _jnp
+
+                self._ptables = dict(self._ptables)
+                self._ptables["A"] = _jnp.asarray(accept_map, _jnp.bfloat16)
             if self.backend == "pallas":
                 from .ops import scan_pallas as spl
 
-                self._pallas = spl.PallasScanner(prog, self._ptables)
+                self._pallas = spl.PallasScanner(
+                    prog, self._ptables, nullable=nullable
+                )
 
     # ------------------------------------------------------------------
     # Stream encoding
@@ -141,7 +176,10 @@ class ScanEngine:
 
     def _len_channels(self, lengths: jnp.ndarray) -> jnp.ndarray:
         """Per-accept-channel lengths (== per record unless multi-pattern)."""
-        return self._len_g(lengths)
+        len_g = self._len_g(lengths)
+        if self.P == 1:
+            return len_g
+        return jnp.repeat(len_g, self.P, axis=1)
 
     # ------------------------------------------------------------------
     # Primitives (all take/return device arrays)

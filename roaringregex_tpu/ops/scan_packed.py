@@ -390,6 +390,87 @@ def reverse_hits(
     return hits.transpose(1, 2, 0).reshape(B_rows * G, T)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("lanes", "s_tile", "cap", "longest", "nullable", "max_len"),
+)
+def spans_rounds(
+    tables: Tables,
+    words: jnp.ndarray,  # [T, B_rows, W] mask stream
+    len_g: jnp.ndarray,  # [B_rows, G]
+    *,
+    lanes: int,
+    s_tile: int,
+    cap: int,
+    longest: bool,
+    nullable: bool,
+    max_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Non-overlapping span enumeration as ONE jitted program (portable
+    analog of the pallas device-span path): one reverse scan for the
+    candidate-start bitmap, then a lax.while_loop of anchored rescans —
+    lazy (first end) or greedy (longest end). Returns
+    (starts [B, cap], ends [B, cap], count [B], overflow [B])."""
+    T, B_rows, W = words.shape
+    G = len_g.shape[1]
+    Bn = B_rows * G
+    lens = len_g.reshape(Bn)
+    hits = reverse_hits(tables, words, lanes=lanes)  # [Bn, T]
+    L1 = max_len + 1
+    sbm = jnp.zeros((Bn, L1), bool)
+    s_of_col = jnp.minimum(jnp.maximum(jnp.arange(T) - 1, 0), max_len)
+    sbm = sbm.at[jnp.arange(Bn)[:, None], s_of_col[None, :]].max(hits)
+    if nullable:
+        sbm = sbm | (jnp.arange(L1)[None, :] <= lens[:, None])
+    cols = jnp.arange(L1)[None, :]
+    neg = jnp.full((Bn, cap + 1), -1, jnp.int32)
+
+    def cond(st):
+        k, pos, active, _, _, ki = st
+        return jnp.any(active) & (k < cap)
+
+    def body(st):
+        k, pos, active, sbuf, ebuf, ki = st
+        m = sbm & (cols >= pos[:, None]) & (cols <= lens[:, None])
+        m = m & active[:, None]
+        has = m.any(axis=1)
+        s = jnp.where(has, jnp.argmax(m, axis=1), -1).astype(jnp.int32)
+        active = active & has
+        if nullable and not longest:
+            e = s  # lazy end of a nullable pattern is the start
+        else:
+            e = first_end_from(
+                tables, words, len_g, s.reshape(B_rows, G),
+                lanes=lanes, s_tile=s_tile, longest=longest,
+            ).reshape(Bn)
+            if nullable:
+                e = jnp.where(e < s, s, e)  # empty-match fallback
+        emit = active & (e >= s)
+        kk = jnp.where(emit, ki, cap)
+        bb = jnp.arange(Bn)
+        sbuf = sbuf.at[bb, kk].set(jnp.where(emit, s, -1))
+        ebuf = ebuf.at[bb, kk].set(jnp.where(emit, e, -1))
+        pos = jnp.where(emit, jnp.maximum(e, s + 1), pos)
+        ki = ki + emit.astype(jnp.int32)
+        active = active & emit & (pos <= lens)
+        return k + 1, pos, active, sbuf, ebuf, ki
+
+    st = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros(Bn, jnp.int32),
+            jnp.ones(Bn, bool),
+            neg,
+            neg,
+            jnp.zeros(Bn, jnp.int32),
+        ),
+    )
+    _, _, active, sbuf, ebuf, ki = st
+    return sbuf[:, :cap], ebuf[:, :cap], ki, active
+
+
 @functools.partial(jax.jit, static_argnames=("lanes", "s_tile", "longest"))
 def first_end_from(
     tables: Tables,

@@ -450,17 +450,26 @@ def _sparse_reverse_kernel(
 class PallasScanner:
     """Owns kernel-layout tables + jit caches for one compiled program."""
 
-    def __init__(self, prog: DeviceProgram, ptables: Dict[str, jnp.ndarray]):
+    def __init__(
+        self,
+        prog: DeviceProgram,
+        ptables: Dict[str, jnp.ndarray],
+        nullable: "bool | None" = None,
+    ):
         assert prog.tier != "sparse"
         self.prog = prog
-        self.nullable = prog.nullable
+        self.nullable = prog.nullable if nullable is None else nullable
         self.lanes = prog.lanes
         self.G = prog.G
         self.Gp = prog.G  # packing groups (fixed; G may alias channels)
         self.W = prog.lanes // 32
         self.spec = byte_spec(prog)
-        self.ft = jnp.asarray(np.asarray(ptables["F_bd"]).T, DTYPE)
+        ft_np = np.asarray(ptables["F_bd"]).T
+        self.ft = jnp.asarray(ft_np, DTYPE)
         self.f = ptables["F_bd"].astype(DTYPE)
+        # seed count column for the counts-chain kernels: c0 = F^T @ seed
+        seed_np = np.asarray(ptables["seed_row"], np.float32)[:, None]
+        self.c0 = jnp.asarray(ft_np.astype(np.float32) @ seed_np, DTYPE)
         self.at = jnp.asarray(np.asarray(ptables["A"]).T, DTYPE)
         self.sg = jnp.asarray(np.asarray(ptables["seed_groups"]).T, DTYPE)
         self.seed = ptables["seed_row"].astype(DTYPE)[:, None]
@@ -654,10 +663,16 @@ class SparseScanner(PallasScanner):
     differ — static per-pattern container structure is baked into the
     kernel (partial-block matmul list + full-block U map)."""
 
-    def __init__(self, prog: DeviceProgram, ptables: Dict[str, jnp.ndarray]):
+    def __init__(
+        self,
+        prog: DeviceProgram,
+        ptables: Dict[str, jnp.ndarray],
+        accept_map: "np.ndarray | None" = None,
+        nullable: "bool | None" = None,
+    ):
         # bypass PallasScanner.__init__ (it requires dense F_bd)
         self.prog = prog
-        self.nullable = prog.nullable
+        self.nullable = prog.nullable if nullable is None else nullable
         self.lanes = prog.s_pad
         self.G = 1
         self.Gp = 1
@@ -675,7 +690,11 @@ class SparseScanner(PallasScanner):
         self.bsum = jnp.asarray(bsum, DTYPE)
         acc = np.zeros(self.lanes, np.uint8)
         acc[: len(prog.accept)] = prog.accept
-        self.at1 = jnp.asarray(acc[None, :], DTYPE)
+        if accept_map is not None:
+            # [lanes, C] accept channels (multi-pattern) -> at rows
+            self.at1 = jnp.asarray(np.asarray(accept_map).T, DTYPE)
+        else:
+            self.at1 = jnp.asarray(acc[None, :], DTYPE)
         sg = np.zeros((1, self.lanes), np.uint8)
         sg[0, 0] = 1
         self.sg1 = jnp.asarray(sg, DTYPE)
@@ -995,10 +1014,13 @@ def byte_spec(prog: DeviceProgram) -> tuple:
     return runs, bos, eos
 
 
-def _bits_from_bytes(d, tg, lens, spec, *, s_tile: int, G: int, B: int):
-    """[G, B] uint8 raw bytes at stream step ``tg`` -> [G*s_tile, B] bool
-    mask bits. Step semantics match mask_stream_from_bytes: tg == 0 is BOS,
-    byte position j = tg - 1; j == len is EOS, j > len is dead (all-zero).
+def _bits_from_bytes(
+    d, tg, lens, spec, *, s_tile: int, G: int, B: int, dtype=None
+):
+    """[G, B] uint8 raw bytes at stream step ``tg`` -> [G*s_tile, B] mask
+    bits (bool, or {0,1} in ``dtype``). Step semantics match
+    mask_stream_from_bytes: tg == 0 is BOS, byte position j = tg - 1;
+    j == len is EOS, j > len is dead (all-zero).
     """
     runs, bos, eos = spec
     Wt = max(1, s_tile // 32)
@@ -1020,6 +1042,8 @@ def _bits_from_bytes(d, tg, lens, spec, *, s_tile: int, G: int, B: int):
         shifts = jax.lax.broadcasted_iota(jnp.uint32, (G, bits_n, B), 1)
         parts.append((mw[:, None, :] >> shifts) & jnp.uint32(1))
     x = parts[0] if Wt == 1 else jnp.concatenate(parts, axis=1)
+    if dtype is not None:
+        return x.astype(jnp.int32).astype(dtype).reshape(G * s_tile, B)
     return (x > 0).reshape(G * s_tile, B)
 
 
@@ -1027,6 +1051,7 @@ def _match_kernel_b(
     len_ref,  # [G, B] int32
     data_ref,  # [T_chunk // r, r * G, B] uint8
     ft_ref,  # [lanes, lanes] bf16 (F_bd^T)
+    c0_ref,  # [lanes, 1] bf16: ft @ seed (the seed's count contribution)
     at_ref,  # [G, lanes] bf16
     seed_ref,  # [lanes, 1] bf16
     cnt_out,  # [G, B] int32
@@ -1048,6 +1073,18 @@ def _match_kernel_b(
     s_tile: int,
     spec,
 ):
+    """Count-semantics scan: the per-step dependent chain is just
+
+        y = ft @ v  (+ c0 seed counts);   v = y * bits
+
+    with one boolean renormalization per slab. Reachability only needs
+    truth of v > 0, which f32->bf16 rounding and {0,1} mask multiplication
+    both preserve, so the thresholds/compares of the boolean formulation
+    move OFF the latency-critical chain (they gated every step at ~2x the
+    cost); accept flags are taken from the counts directly (> 0 in f32).
+    Counts grow by at most a factor of s_tile (+G seeds) per step, so r <= 8
+    steps between renorms stay far below bf16's 3.4e38 range for every tier.
+    """
     j = pl.program_id(1)
     nT = pl.num_programs(1)
     G = len_ref.shape[0]  # packing groups (records per row)
@@ -1055,6 +1092,8 @@ def _match_kernel_b(
     P = C // G
     B = v_s.shape[1]
     seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    c0 = c0_ref[:]
+    zero_c0 = jnp.zeros_like(c0)
     lens = len_ref[:]
     lenc = (
         jnp.broadcast_to(lens[:, None, :], (G, P, B)).reshape(C, B)
@@ -1083,25 +1122,24 @@ def _match_kernel_b(
 
     def body(i, _):
         slab = data_ref[i]  # [r*G, B]
+        v = v_s[:]
         for m in range(r):
             d = slab[m * G : (m + 1) * G]
             tg = j * T_chunk + i * r + m
-            v = v_s[:]
-            if not seeded:
-                v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
-            else:
-                v = jnp.maximum(v, seed_col)
             y = jnp.dot(
                 ft_ref[:], v, preferred_element_type=jnp.float32
-            ).astype(jnp.float32)
-            bits = _bits_from_bytes(
-                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            ).astype(DTYPE)
+            if seeded:
+                y = y + c0
+            else:
+                y = y + jnp.where(tg < n_seed, c0, zero_c0)
+            b16 = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
             )
-            v2 = ((y > 0) & bits).astype(DTYPE)
-            v_s[:] = v2
+            v = y * b16
             fl = (
                 jnp.dot(
-                    at_ref[:], v2, preferred_element_type=jnp.float32
+                    at_ref[:], v, preferred_element_type=jnp.float32
                 ).astype(jnp.float32)
                 > 0
             )  # [C, B]
@@ -1112,6 +1150,8 @@ def _match_kernel_b(
             first_s[:] = jnp.where((first_s[:] < 0) & fl, e, first_s[:])
             last_s[:] = jnp.where(fl, e, last_s[:])
             full_s[:] = full_s[:] | (fl & (tg >= lenc)).astype(jnp.int32)
+        # renorm: counts -> booleans once per slab (bf16-range safety)
+        v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
 
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
@@ -1128,6 +1168,7 @@ def _flags_kernel_b(
     len_ref,  # [G, B] int32
     data_ref,  # [T_chunk // r, r * G, B] uint8
     ft_ref,
+    c0_ref,  # [lanes, 1] bf16 (ft @ seed)
     at_ref,
     seed_ref,
     flags_out,  # [T_chunk, G, B] int8
@@ -1141,10 +1182,14 @@ def _flags_kernel_b(
     s_tile: int,
     spec,
 ):
+    """Counts-chain forward scan emitting per-step accept flags (see
+    _match_kernel_b for the counts formulation)."""
     j = pl.program_id(1)
     G = len_ref.shape[0]
     B = v_s.shape[1]
     seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    c0 = c0_ref[:]
+    zero_c0 = jnp.zeros_like(c0)
     lens = len_ref[:]
 
     @pl.when(j == 0)
@@ -1153,29 +1198,29 @@ def _flags_kernel_b(
 
     def body(i, _):
         slab = data_ref[i]
+        v = v_s[:]
         for m in range(r):
             d = slab[m * G : (m + 1) * G]
             tg = j * T_chunk + i * r + m
-            v = v_s[:]
-            if not seeded:
-                v = jnp.where(tg < n_seed, jnp.maximum(v, seed_col), v)
-            else:
-                v = jnp.maximum(v, seed_col)
             y = jnp.dot(
                 ft_ref[:], v, preferred_element_type=jnp.float32
-            ).astype(jnp.float32)
-            bits = _bits_from_bytes(
-                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            ).astype(DTYPE)
+            if seeded:
+                y = y + c0
+            else:
+                y = y + jnp.where(tg < n_seed, c0, zero_c0)
+            b16 = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
             )
-            v2 = ((y > 0) & bits).astype(DTYPE)
-            v_s[:] = v2
+            v = y * b16
             fl = (
                 jnp.dot(
-                    at_ref[:], v2, preferred_element_type=jnp.float32
+                    at_ref[:], v, preferred_element_type=jnp.float32
                 ).astype(jnp.float32)
                 > 0
             )
             flags_out[i * r + m] = fl.astype(jnp.int8)
+        v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
 
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
@@ -1196,6 +1241,9 @@ def _reverse_kernel_b(
     s_tile: int,
     spec,
 ):
+    """Counts-chain reverse scan: masked = (R + acc) * bits; Rn = F @ masked
+    — the per-step dependent chain is add + mul + dot, with one boolean
+    renormalization per slab (see _match_kernel_b)."""
     j = pl.program_id(1)
     nT = pl.num_programs(1)
     G = len_ref.shape[0]
@@ -1210,27 +1258,26 @@ def _reverse_kernel_b(
     def body(i, _):
         iq = T_chunk // r - 1 - i
         slab = data_ref[iq]
+        R = r_s[:]
         for m in reversed(range(r)):
             d = slab[m * G : (m + 1) * G]
             # grid step j processes chunk nT-1-j (back-to-front walk)
             tg = (nT - 1 - j) * T_chunk + iq * r + m
-            R = jnp.maximum(r_s[:], acc_col)
-            bits = _bits_from_bytes(
-                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            b16 = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
             )
-            masked = ((R.astype(jnp.float32) > 0) & bits).astype(DTYPE)
-            Rn = jnp.dot(
+            masked = (R + acc_col) * b16
+            R = jnp.dot(
                 f_ref[:], masked, preferred_element_type=jnp.float32
-            ).astype(jnp.float32)
-            Rn = (Rn > 0).astype(DTYPE)
-            r_s[:] = Rn
+            ).astype(DTYPE)
             hit = (
                 jnp.dot(
-                    sg_ref[:], Rn, preferred_element_type=jnp.float32
+                    sg_ref[:], R, preferred_element_type=jnp.float32
                 ).astype(jnp.float32)
                 > 0
             )
             hits_out[iq * r + m] = hit.astype(jnp.int8)
+        r_s[:] = (R.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
 
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
@@ -1241,6 +1288,7 @@ def _anchor_end_kernel_b(
     starts_ref,  # [G, B] int32 per-record anchored start; -1 inactive
     data_ref,  # [T_chunk // r, r * G, B] uint8
     ft_ref,
+    c0_ref,  # [lanes, 1] bf16 (ft @ seed)
     at_ref,
     seed_ref,
     end_out,  # [G, B] int32
@@ -1256,12 +1304,15 @@ def _anchor_end_kernel_b(
 ):
     """Anchored rescan: smallest (lazy) or largest (greedy leftmost-longest)
     end of a match starting exactly at ``starts`` — the two span policies
-    (the reference's never-implemented greedy iterator, regex.h:150-165)."""
+    (the reference's never-implemented greedy iterator, regex.h:150-165).
+    Counts-chain formulation (see _match_kernel_b); the per-record seed
+    gate folds into the post-matmul add because F_bd is block-diagonal per
+    record tile."""
     j = pl.program_id(1)
     nT = pl.num_programs(1)
     G = len_ref.shape[0]
     B = v_s.shape[1]
-    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    c0_col = jnp.broadcast_to(c0_ref[:], (lanes, B)).astype(DTYPE)
     lens = len_ref[:]
     starts = starts_ref[:]
 
@@ -1272,6 +1323,7 @@ def _anchor_end_kernel_b(
 
     def body(i, _):
         slab = data_ref[i]
+        v = v_s[:]
         for m in range(r):
             d = slab[m * G : (m + 1) * G]
             tg = j * T_chunk + i * r + m
@@ -1281,18 +1333,17 @@ def _anchor_end_kernel_b(
             gl = jnp.broadcast_to(
                 gate.astype(DTYPE)[:, None, :], (G, s_tile, B)
             ).reshape(lanes, B)
-            v = jnp.maximum(v_s[:], gl * seed_col)
             y = jnp.dot(
                 ft_ref[:], v, preferred_element_type=jnp.float32
-            ).astype(jnp.float32)
-            bits = _bits_from_bytes(
-                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            ).astype(DTYPE)
+            y = y + gl * c0_col
+            b16 = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
             )
-            v2 = ((y > 0) & bits).astype(DTYPE)
-            v_s[:] = v2
+            v = y * b16
             fl = (
                 jnp.dot(
-                    at_ref[:], v2, preferred_element_type=jnp.float32
+                    at_ref[:], v, preferred_element_type=jnp.float32
                 ).astype(jnp.float32)
                 > 0
             )
@@ -1303,6 +1354,7 @@ def _anchor_end_kernel_b(
             else:
                 ok = fl & (e >= starts) & (end_s[:] < 0)
                 end_s[:] = jnp.where(ok, e, end_s[:])
+        v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
 
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
@@ -1317,6 +1369,7 @@ def _span_kernel_b(
     hits_ref,  # [T_chunk, G, B] int8: candidate-start stream (reverse pass)
     data_ref,  # [T_chunk // r, r * G, B] uint8
     ft_ref,
+    c0_ref,  # [lanes, 1] bf16 (ft @ seed)
     at_ref,  # [G, lanes]
     seed_ref,
     ev_out,  # [T_chunk, G, B] int32: span start + 1 at its emit step, else 0
@@ -1344,7 +1397,7 @@ def _span_kernel_b(
     j = pl.program_id(1)
     G = len_ref.shape[0]
     B = v_s.shape[1]
-    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    c0_col = jnp.broadcast_to(c0_ref[:], (lanes, B)).astype(DTYPE)
     lens = len_ref[:]
 
     @pl.when(j == 0)
@@ -1355,10 +1408,12 @@ def _span_kernel_b(
 
     def body(i, _):
         slab = data_ref[i]
+        v = v_s[:]
         for m in range(r):
             d = slab[m * G : (m + 1) * G]
             tg = j * T_chunk + i * r + m
-            hit = hits_ref[i * r + m] > 0
+            # int8 -> int32 before comparing (Mosaic lacks sub-word cmp)
+            hit = hits_ref[i * r + m].astype(jnp.int32) > 0
             sp = jnp.maximum(tg - 1, 0)
             cur = cur_s[:]
             claim = (cur < 0) & hit & (sp >= pos_s[:]) & (sp <= lens)
@@ -1367,17 +1422,17 @@ def _span_kernel_b(
             gl = jnp.broadcast_to(
                 gate.astype(DTYPE)[:, None, :], (G, s_tile, B)
             ).reshape(lanes, B)
-            v = jnp.maximum(v_s[:], gl * seed_col)
             y = jnp.dot(
                 ft_ref[:], v, preferred_element_type=jnp.float32
-            ).astype(jnp.float32)
-            bits = _bits_from_bytes(
-                d, tg, lens, spec, s_tile=s_tile, G=G, B=B
+            ).astype(DTYPE)
+            y = y + gl * c0_col  # block-diagonal F: per-record seed add
+            b16 = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
             )
-            v2 = ((y > 0) & bits).astype(DTYPE)
+            v = y * b16
             fl = (
                 jnp.dot(
-                    at_ref[:], v2, preferred_element_type=jnp.float32
+                    at_ref[:], v, preferred_element_type=jnp.float32
                 ).astype(jnp.float32)
                 > 0
             )
@@ -1386,10 +1441,11 @@ def _span_kernel_b(
             ev_out[i * r + m] = jnp.where(done, cur + 1, 0)
             pos_s[:] = jnp.where(done, jnp.maximum(e, cur + 1), pos_s[:])
             cur_s[:] = jnp.where(done, -1, cur)
-            dl = jnp.broadcast_to(
-                done[:, None, :], (G, s_tile, B)
+            keep = jnp.broadcast_to(
+                (~done).astype(DTYPE)[:, None, :], (G, s_tile, B)
             ).reshape(lanes, B)
-            v_s[:] = jnp.where(dl, jnp.zeros_like(v2), v2)
+            v = v * keep  # kill the emitted record's anchored threads
+        v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
 
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
@@ -1697,6 +1753,7 @@ def _add_byte_path(cls):
                 gspec,
                 dspec,
                 _full_spec((lanes, lanes)),
+                _full_spec((lanes, 1)),
                 _full_spec((C, lanes)),
                 _full_spec((lanes, 1)),
             ],
@@ -1707,7 +1764,7 @@ def _add_byte_path(cls):
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)]
             + [pltpu.VMEM((C, B_blk), jnp.int32)] * 4,
             interpret=_interpret(),
-        )(lenT, tm, self.ft, self.at, self.seed)
+        )(lenT, tm, self.ft, self.c0, self.at, self.seed)
 
     # -- forward flags ---------------------------------------------------
     def forward_flags_b(self, data, len_g, *, seeded: bool):
@@ -1760,6 +1817,7 @@ def _add_byte_path(cls):
                 gspec,
                 dspec,
                 _full_spec((lanes, lanes)),
+                _full_spec((lanes, 1)),
                 _full_spec((C, lanes)),
                 _full_spec((lanes, 1)),
             ],
@@ -1770,7 +1828,7 @@ def _add_byte_path(cls):
             out_shape=jax.ShapeDtypeStruct((T_pad, C, B_pad), jnp.int8),
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
             interpret=_interpret(),
-        )(lenT, tm, self.ft, self.at, self.seed)
+        )(lenT, tm, self.ft, self.c0, self.at, self.seed)
 
     # -- reverse hits ----------------------------------------------------
     def reverse_hits_b(self, data, len_g):
@@ -1883,6 +1941,7 @@ def _add_byte_path(cls):
                 gspec,
                 dspec,
                 _full_spec((lanes, lanes)),
+                _full_spec((lanes, 1)),
                 _full_spec((G, lanes)),
                 _full_spec((lanes, 1)),
             ],
@@ -1893,7 +1952,7 @@ def _add_byte_path(cls):
                 pltpu.VMEM((G, B_blk), jnp.int32),
             ],
             interpret=_interpret(),
-        )(lenT, startsT, tm, self.ft, self.at, self.seed)
+        )(lenT, startsT, tm, self.ft, self.c0, self.at, self.seed)
 
     @functools.partial(
         jax.jit,
@@ -1969,6 +2028,7 @@ def _add_byte_path(cls):
                 hspec,
                 dspec,
                 _full_spec((lanes, lanes)),
+                _full_spec((lanes, 1)),
                 _full_spec((G, lanes)),
                 _full_spec((lanes, 1)),
             ],
@@ -1983,7 +2043,7 @@ def _add_byte_path(cls):
                 pltpu.VMEM((G, B_blk), jnp.int32),
             ],
             interpret=_interpret(),
-        )(lenT, hits, tm, self.ft, self.at, self.seed)
+        )(lenT, hits, tm, self.ft, self.c0, self.at, self.seed)
         # compaction: event stream -> fixed-capacity span buffers
         Bn = B_rows * G
         ev2 = ev[:T, :, :B_rows].transpose(2, 1, 0).reshape(Bn, T)

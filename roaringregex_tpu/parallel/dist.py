@@ -69,18 +69,35 @@ class DistScanner:
     TPU, via mask_stream_from_bytes elsewhere).
     """
 
-    def __init__(self, prog: DeviceProgram, mesh: Mesh, axis: str = DATA_AXIS):
+    def __init__(
+        self,
+        prog: DeviceProgram,
+        mesh: Mesh,
+        axis: str = DATA_AXIS,
+        *,
+        accept_map=None,
+        channels_per_record: int = 1,
+        nullable: Optional[bool] = None,
+    ):
+        """``accept_map`` / ``channels_per_record`` mirror ScanEngine's
+        first-class multi-pattern interface: C = G*P accept channels per
+        packed row, per-record-per-pattern stats from one sharded scan."""
         self.prog = prog
         self.mesh = mesh
         self.axis = axis
         self.n_runs = len(prog.byte_runs[0])
         self.dense = prog.tier != "sparse"
+        self.P = channels_per_record
+        self._nullable = prog.nullable if nullable is None else nullable
         tables = spk.packed_tables(prog) if self.dense else sx.device_tables(prog)
+        if accept_map is not None and self.dense:
+            tables = dict(tables)
+            tables["A"] = jnp.asarray(accept_map, jnp.bfloat16)
         self._plk = None
         if self.dense and jax.default_backend() == "tpu":
             from ..ops import scan_pallas as spl
 
-            self._plk = spl.PallasScanner(prog, tables)
+            self._plk = spl.PallasScanner(prog, tables, nullable=nullable)
         # replicate tables on every chip (broadcast once, like the
         # "transition tables replicated" requirement of BASELINE config 5)
         rep = NamedSharding(mesh, P())
@@ -111,15 +128,19 @@ class DistScanner:
                     tables, d, len_g, s_tile=prog.s_tile, G=prog.G,
                     n_runs=self.n_runs, kernel_layout=False,
                 )
+                len_c = (
+                    jnp.repeat(len_g, self.P, axis=1) if self.P > 1 else len_g
+                )
                 cnt, first, anym = spk.match_stats(
-                    tables, words, len_g, seeded=seeded,
-                    nullable=prog.nullable, lanes=prog.lanes,
+                    tables, words, len_c, seeded=seeded,
+                    nullable=self._nullable, lanes=prog.lanes,
                 )
             B = cnt.shape[0] * cnt.shape[1]
+            B0c = B0 * self.P
             return (
-                cnt.reshape(B)[:B0],
-                first.reshape(B)[:B0],
-                anym.reshape(B)[:B0],
+                cnt.reshape(B)[:B0c],
+                first.reshape(B)[:B0c],
+                anym.reshape(B)[:B0c],
             )
         cls = sx.encode_stream(
             tables, d, l, prog.bos_class, prog.eos_class, prog.dead_class
@@ -176,6 +197,63 @@ class DistScanner:
         """[B] bool, sharded: record contains a match."""
         _, _, anym = self.per_record(data, lengths, seeded=True)
         return anym
+
+    # ------------------------------------------------------------------
+    def per_record_spans(
+        self,
+        data: jax.Array,
+        lengths: jax.Array,
+        *,
+        cap: int,
+        longest: bool = False,
+    ):
+        """Sharded non-overlapping span extraction: each shard enumerates
+        its records' spans on its own chip (reverse pass + device-side
+        anchored-rescan rounds; no cross-chip traffic — spans stay with
+        the record's owner). Returns sharded (starts [B, cap],
+        ends [B, cap], count [B], overflow [B]). Dense tiers."""
+        assert self.dense, "sharded spans need a dense tier"
+        assert self.P == 1, "span extraction is single-pattern"
+        prog = self.prog
+        max_len = int(data.shape[1])
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), self._spec_in, self._spec_v),
+            out_specs=(
+                self._spec_in, self._spec_in, self._spec_v, self._spec_v,
+            ),
+            check_vma=False,
+        )
+        def _spans(tables, d, l):
+            B0, G = d.shape[0], prog.G
+            Bp = ((B0 + G - 1) // G) * G
+            if Bp != B0:
+                d = jnp.pad(d, ((0, Bp - B0), (0, 0)))
+                l = jnp.pad(l, (0, Bp - B0))
+            len_g = l.reshape(-1, G)
+            if self._plk is not None and not prog.nullable:
+                if longest:
+                    s, e, cnt, over = self._plk.greedy_spans_b(
+                        d, len_g, cap=cap
+                    )
+                else:
+                    s, e, cnt = self._plk.lazy_spans_b(d, len_g, cap=cap)
+                    over = cnt > cap
+            else:
+                words = spk.mask_stream_from_bytes(
+                    tables, d, len_g, s_tile=prog.s_tile, G=prog.G,
+                    n_runs=self.n_runs, kernel_layout=False,
+                )
+                s, e, cnt, over = spk.spans_rounds(
+                    tables, words, len_g, lanes=prog.lanes,
+                    s_tile=prog.s_tile, cap=cap, longest=longest,
+                    nullable=prog.nullable, max_len=max_len,
+                )
+            return s[:B0], e[:B0], cnt[:B0], over[:B0]
+
+        return _spans(self.tables, data, lengths)
 
     # ------------------------------------------------------------------
     # Long-string mode: ONE string sharded across the mesh

@@ -103,3 +103,46 @@ def test_long_string_sharded(mesh, pattern):
     assert cnt == len(oracle.ends(text)), pattern
     ls = LongScanner(prog, block=32)
     assert cnt == ls.count_ends(text)
+
+
+def test_per_record_spans_sharded(mesh):
+    """Sharded span extraction (lazy + greedy) matches the oracle."""
+    prog = compile_program("(ab)+c?")
+    scanner = DistScanner(prog, mesh)
+    oracle = OracleEngine(prog.nfa)
+    recs = [b"ababc", b"xxabx", b"", b"abab", b"cab", b"ababab", b"zz", b"ab"] * 2
+    data, lengths = _pack(recs, 16, 16)
+    d, l = shard_batch(mesh, data, lengths)
+    for longest in (False, True):
+        s_b, e_b, cnt_b, over = scanner.per_record_spans(
+            d, l, cap=8, longest=longest
+        )
+        s_np, e_np, c_np = map(np.asarray, (s_b, e_b, cnt_b))
+        assert not np.asarray(over).any()
+        for i, rec in enumerate(recs):
+            want = list(oracle.finditer(rec, longest=longest))
+            got = list(zip(s_np[i, : c_np[i]].tolist(),
+                           e_np[i, : c_np[i]].tolist()))
+            assert got == want, (rec, longest, got, want)
+
+
+def test_multipattern_sharded(mesh):
+    """Accept-channel multi-pattern scan under the mesh."""
+    from roaringregex_tpu.api import MultiPattern
+
+    mp = MultiPattern(["err(or)?", "[0-9]{2}"])
+    scanner = DistScanner(
+        mp.program, mesh,
+        accept_map=np.asarray(mp.engine._ptables["A"]),
+        channels_per_record=mp.P, nullable=False,
+    )
+    recs = [b"error 42", b"err", b"12 fine", b"nothing"] * 4
+    data, lengths = _pack(recs, 16, 16)
+    d, l = shard_batch(mesh, data, lengths)
+    _, _, any_pc = scanner.per_record(d, l, seeded=True)
+    per = np.asarray(any_pc).reshape(-1, mp.P)
+    from roaringregex_tpu.compiler.nfa import build_nfa
+    for p, pat in enumerate(mp.patterns):
+        o = OracleEngine(build_nfa(pat))
+        for i, rec in enumerate(recs):
+            assert bool(per[i, p]) == o.search(rec), (rec, pat)
