@@ -519,6 +519,133 @@ void rrx_accept(const RrxProgram* p, int32_t* out) {
 void rrx_free(RrxProgram* p) { delete p; }
 
 // ---------------------------------------------------------------------------
+// Host scan engine: a self-contained CPU matcher over the compiled program
+// (the capability the reference ships as librregex.a — its per-byte
+// Processor::shift row-union hot loop, NFA.cc:72-102 — here with 32-bit
+// state ids and working anchors). Used by the CLI / library when no device
+// runtime is wanted; the TPU kernels remain the production path.
+// ---------------------------------------------------------------------------
+
+struct RrxScanner {
+  long S;
+  bool nullable;
+  size_t words;                    // ceil(S / 64)
+  std::vector<uint64_t> follow;    // [S][words] follow-row masks
+  std::vector<uint64_t> bsym;      // [kNSYM][words] symbol-entry masks
+  std::vector<uint64_t> accept;    // [words]
+
+  bool step(std::vector<uint64_t>& D, std::vector<uint64_t>& scratch,
+            int sym) const {
+    // new = (U_{i in D} follow[i]) & bsym[sym] -- the reference's hot loop
+    std::fill(scratch.begin(), scratch.end(), 0);
+    for (size_t w = 0; w < words; w++) {
+      uint64_t x = D[w];
+      while (x) {
+        long i = (long)(w * 64 + (size_t)__builtin_ctzll(x));
+        x &= x - 1;
+        const uint64_t* row = &follow[(size_t)i * words];
+        for (size_t k = 0; k < words; k++) scratch[k] |= row[k];
+      }
+    }
+    const uint64_t* b = &bsym[(size_t)sym * words];
+    uint64_t any = 0;
+    for (size_t k = 0; k < words; k++) {
+      D[k] = scratch[k] & b[k];
+      any |= D[k];
+    }
+    return any != 0;
+  }
+};
+
+RrxScanner* rrx_scanner_new(const RrxProgram* p) {
+  auto s = std::make_unique<RrxScanner>();
+  s->S = p->n_states;
+  s->nullable = p->nullable;
+  s->words = (size_t)((p->n_states + 63) / 64);
+  s->follow.assign((size_t)p->n_states * s->words, 0);
+  for (size_t e = 0; e + 1 < p->edges.size(); e += 2) {
+    long i = p->edges[e], j = p->edges[e + 1];
+    s->follow[(size_t)i * s->words + (size_t)(j >> 6)] |= 1ull << (j & 63);
+  }
+  const size_t nbytes = (kNSYM + 7) / 8;
+  s->bsym.assign((size_t)kNSYM * s->words, 0);
+  for (long st = 1; st < p->n_states; st++) {
+    const uint8_t* lab = &p->labels[(size_t)(st - 1) * nbytes];
+    for (int sym = 0; sym < kNSYM; sym++)
+      if (lab[sym >> 3] & (1 << (sym & 7)))
+        s->bsym[(size_t)sym * s->words + (size_t)(st >> 6)] |=
+            1ull << (st & 63);
+  }
+  s->accept.assign(s->words, 0);
+  for (int32_t a : p->accept)
+    s->accept[(size_t)(a >> 6)] |= 1ull << (a & 63);
+  return s.release();
+}
+
+void rrx_scanner_free(RrxScanner* s) { delete s; }
+
+static inline bool hits_accept(const RrxScanner* s,
+                               const std::vector<uint64_t>& D) {
+  for (size_t k = 0; k < s->words; k++)
+    if (D[k] & s->accept[k]) return true;
+  return false;
+}
+
+// Whole-string acceptance (the reference's verified semantics; oracle
+// fullmatch). Stream = BOS | bytes | EOS; position 0 exists on both sides
+// of BOS; bytes >= 0x80 are dead symbols.
+int rrx_fullmatch(const RrxScanner* s, const uint8_t* text, long n) {
+  if (n == 0 && s->nullable) return 1;
+  std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
+  D[0] = 1;  // {initial}
+  for (long k = 0; k <= n + 1; k++) {
+    int sym = k == 0 ? 128 : (k <= n ? (text[k - 1] < 128 ? text[k - 1] : -1)
+                                     : 129);
+    bool any = sym < 0 ? (std::fill(D.begin(), D.end(), 0), false)
+                       : s->step(D, scratch, sym);
+    if (k == 0) {
+      D[0] |= 1;  // re-inject: position 0 is on both sides of BOS
+      any = true;
+    }
+    long e = k == 0 ? 0 : (k <= n ? k : n);
+    if (e == n && hits_accept(s, D)) return 1;
+    if (!any && e < n) return 0;
+  }
+  return 0;
+}
+
+// Seeded scan: number of distinct match-end positions (oracle ends());
+// *first_end = smallest one or -1. The grep primitive without a device.
+long rrx_count_ends(const RrxScanner* s, const uint8_t* text, long n,
+                    long* first_end) {
+  std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
+  long cnt = 0, first = -1, last = -1;
+  if (s->nullable) {  // empty match ends at every position
+    if (first_end) *first_end = 0;
+    return n + 1;
+  }
+  for (long k = 0; k <= n + 1; k++) {
+    D[0] |= 1;  // fresh seed before every symbol
+    int sym = k == 0 ? 128 : (k <= n ? (text[k - 1] < 128 ? text[k - 1] : -1)
+                                     : 129);
+    if (sym < 0) {
+      std::fill(D.begin(), D.end(), 0);
+      continue;
+    }
+    s->step(D, scratch, sym);
+    if (k == 0) D[0] |= 1;
+    long e = k == 0 ? 0 : (k <= n ? k : n);
+    if (hits_accept(s, D) && e != last) {
+      cnt++;
+      last = e;
+      if (first < 0) first = e;
+    }
+  }
+  if (first_end) *first_end = first;
+  return cnt;
+}
+
+// ---------------------------------------------------------------------------
 // Corpus packer (data-loader): newline records -> padded [B, L] + lengths.
 // Returns the record count, or -1 if more than max_records records exist.
 // Records longer than L are truncated to L (caller picks L = max length,

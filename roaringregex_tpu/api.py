@@ -161,7 +161,7 @@ class Pattern:
         eng = self.engine
         if (
             eng._pallas is not None
-            and self.program.tier != "sparse"
+            and eng._pallas.has_anchor
             and eng._pallas.at.shape[0] == self.program.G
         ):
             return self._finditer_device(data, lengths, B, maxlen, longest)
@@ -263,6 +263,20 @@ class Pattern:
         starts[0] = 0
         e = int(np.asarray(self.engine.first_end_from(data, lengths, starts))[0])
         return Match(0, e, b) if e >= 0 else None
+
+    # -- host-only matching (no device runtime) -----------------------------
+    @property
+    def host(self):
+        """Self-contained CPU matcher (compiler/native.py HostEngine over
+        native/rrx_host.cc): ``pat.host.fullmatch/search/count_ends``.
+        The librregex.a capability of the reference — matching with no
+        JAX/device runtime. Raises RuntimeError if the native library is
+        unavailable."""
+        if getattr(self, "_host", None) is None:
+            from .compiler.native import HostEngine
+
+            self._host = HostEngine(self.pattern)
+        return self._host
 
     # -- one-long-string mode (sequence parallelism) -----------------------
     @property

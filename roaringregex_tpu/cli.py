@@ -92,14 +92,11 @@ def main(argv=None) -> int:
 
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
+    if os.environ.get("JAX_PLATFORMS") and args.backend != "host":
         # honor the env var even where a sitecustomize pins jax_platforms
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-    from .api import MultiPattern, Pattern
-    from .compiler.parser import RegexSyntaxError
 
     patterns = list(args.regexp)
     if args.pattern is not None:
@@ -121,6 +118,70 @@ def main(argv=None) -> int:
         return 2
 
     t0 = time.perf_counter()
+    n_match = 0
+    n_lines = 0
+    n_bytes = 0
+    many_files = len(args.files) > 1
+    counts_only = args.count
+
+    if args.backend == "host":
+        # Self-contained native CPU scan (native/rrx_host.cc RrxScanner):
+        # no JAX/device runtime is initialized at all on this path — the
+        # librregex.a capability of the reference.
+        if len(patterns) > 1 or args.only_spans or args.long:
+            print(
+                "rrx: --backend host takes a single pattern, no -o/--long",
+                file=sys.stderr,
+            )
+            return 2
+        from .compiler.native import HostEngine
+        from .compiler.parser import RegexSyntaxError
+
+        try:
+            he = HostEngine(patterns[0])
+        except RegexSyntaxError as e:
+            print(f"rrx: invalid pattern: {e}", file=sys.stderr)
+            return 2
+        if args.dump or args.dump_full:
+            # program compile + dump are pure host numpy (no ScanEngine)
+            from .compiler.serialize import cached_compile
+
+            print(cached_compile(patterns[0]).nfa.dump(full=args.dump_full))
+            if not args.files and sys.stdin.isatty():
+                return 0
+        for src, buf in _read_buffers(args.files):
+            lines = buf.split(b"\n")
+            if lines and lines[-1] == b"":
+                lines.pop()
+            n_lines += len(lines)
+            for ln_no, line in enumerate(lines):
+                n_bytes += len(line)
+                hit = (
+                    he.fullmatch(line) if args.fullmatch else he.search(line)
+                )
+                if args.invert_match:
+                    hit = not hit
+                if hit:
+                    n_match += 1
+                    if not counts_only:
+                        prefix = f"{src}:" if many_files else ""
+                        if args.line_number:
+                            prefix += f"{ln_no + 1}:"
+                        print(prefix + line.decode("ascii", "replace"))
+        if counts_only:
+            print(n_match)
+        if args.stats:
+            dt = time.perf_counter() - t0
+            print(
+                f"rrx: {n_match}/{n_lines} lines, {n_bytes} bytes, "
+                f"{dt*1e3:.1f} ms (native host engine)",
+                file=sys.stderr,
+            )
+        return 0 if n_match > 0 else 1
+
+    from .api import MultiPattern, Pattern
+    from .compiler.parser import RegexSyntaxError
+
     multi = None
     try:
         if len(patterns) > 1:
@@ -136,11 +197,6 @@ def main(argv=None) -> int:
         if not args.files and sys.stdin.isatty():
             return 0
 
-    n_match = 0
-    n_lines = 0
-    n_bytes = 0
-    many_files = len(args.files) > 1
-    counts_only = args.count
     if args.long:
         if multi is not None:
             print("rrx: --long takes a single pattern", file=sys.stderr)

@@ -93,6 +93,15 @@ def _load() -> Optional[ct.CDLL]:
             ct.c_void_p, ct.c_long, ct.c_long, ct.c_long, ct.c_void_p,
             ct.c_void_p,
         ]
+        lib.rrx_scanner_new.restype = ct.c_void_p
+        lib.rrx_scanner_new.argtypes = [ct.c_void_p]
+        lib.rrx_scanner_free.argtypes = [ct.c_void_p]
+        lib.rrx_fullmatch.restype = ct.c_int
+        lib.rrx_fullmatch.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_long]
+        lib.rrx_count_ends.restype = ct.c_long
+        lib.rrx_count_ends.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -219,3 +228,72 @@ def pack_corpus_native(
     )
     assert got == count, (got, count)
     return data, lengths, count
+
+
+# ---------------------------------------------------------------------------
+# Host scan engine (self-contained CPU matching, no device runtime)
+# ---------------------------------------------------------------------------
+
+
+class HostEngine:
+    """CPU matcher over the native scan loop (native/rrx_host.cc
+    RrxScanner) — the self-contained-library capability the reference
+    ships as librregex.a (its Processor::shift row-union loop,
+    NFA.cc:72-102), with 32-bit state ids and working anchors. Semantics
+    match the oracle (fullmatch / seeded ends); the TPU engine remains
+    the production path."""
+
+    def __init__(self, pattern: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native host library unavailable (RRX_NATIVE=0 or build "
+                "failed); use the device engine instead"
+            )
+        err = ct.create_string_buffer(256)
+        try:
+            pat_b = pattern.encode("ascii")
+        except UnicodeEncodeError:
+            raise RegexSyntaxError("pattern must be ASCII")
+        ph = lib.rrx_compile(pat_b, err, 256)
+        if not ph:
+            msg = err.value.decode("ascii", "replace")
+            if "MAX_STATES" in msg:
+                raise PatternTooLargeError(msg)
+            raise RegexSyntaxError(msg)
+        self._lib = lib
+        self._prog = ph
+        self._scan = lib.rrx_scanner_new(ph)
+
+    def __del__(self):  # pragma: no cover - interpreter teardown order
+        lib = getattr(self, "_lib", None)
+        if lib is None:
+            return
+        if getattr(self, "_scan", None):
+            lib.rrx_scanner_free(self._scan)
+            self._scan = None
+        if getattr(self, "_prog", None):
+            lib.rrx_free(self._prog)
+            self._prog = None
+
+    @staticmethod
+    def _buf(text) -> bytes:
+        return text.encode("ascii") if isinstance(text, str) else bytes(text)
+
+    def fullmatch(self, text) -> bool:
+        b = self._buf(text)
+        return bool(self._lib.rrx_fullmatch(self._scan, b, len(b)))
+
+    def count_ends(self, text) -> int:
+        b = self._buf(text)
+        return int(self._lib.rrx_count_ends(self._scan, b, len(b), None))
+
+    def first_end(self, text) -> int:
+        """Smallest match-end position, or -1."""
+        b = self._buf(text)
+        first = ct.c_long(-1)
+        self._lib.rrx_count_ends(self._scan, b, len(b), ct.byref(first))
+        return int(first.value)
+
+    def search(self, text) -> bool:
+        return self.count_ends(text) > 0

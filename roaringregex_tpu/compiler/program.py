@@ -296,7 +296,10 @@ def compile_program(pattern_or_nfa) -> DeviceProgram:
     if tier != "sparse":
         F = np.zeros((s_pad, s_pad), dtype=np.uint8)
         F[:S, :S] = nfa.follow_matrix
-    else:
+    if tier in ("sparse", "multiblock"):
+        # multiblock keeps the block layout too: the engine routes banded
+        # follow structure (repetition chains) through the container
+        # kernels when that needs fewer MACs than the dense matmul
         fblocks, fb_rows, fb_cols = _block_sparse_follow(nfa, s_pad)
 
     return DeviceProgram(

@@ -129,9 +129,39 @@ class ScanEngine:
             if self.backend == "pallas":
                 from .ops import scan_pallas as spl
 
-                self._pallas = spl.PallasScanner(
-                    prog, self._ptables, nullable=nullable
-                )
+                if self._multiblock_container_wins(prog, cfg):
+                    # banded multiblock follow structure: the container
+                    # kernels need fewer MACs than the dense lanes^2
+                    # matmul (VERDICT r1 #5: the run/bitmap split applied
+                    # to 256 < S <= 1024)
+                    sparse_am = None
+                    if accept_map is not None:
+                        sparse_am = np.asarray(accept_map)
+                    self._pallas = spl.SparseScanner(
+                        prog,
+                        sp.stream_tables(prog),
+                        accept_map=sparse_am,
+                        nullable=nullable,
+                    )
+                else:
+                    self._pallas = spl.PallasScanner(
+                        prog, self._ptables, nullable=nullable
+                    )
+
+    @staticmethod
+    def _multiblock_container_wins(prog, cfg) -> bool:
+        """True if the multiblock program's per-step container MACs
+        (partial 128x128 blocks + accept reduce) undercut the dense
+        lanes^2 follow matmul — repetition chains have O(S/128) nonzero
+        blocks, so the dense path wastes most of the MXU."""
+        if prog.tier != "multiblock" or prog.fblocks is None:
+            return False
+        pb, _, _, U = prog.sparse_partition
+        npart = len(pb)
+        if npart > cfg.sparse_partial_max:
+            return False
+        sparse_macs = npart * 128 * 128 + int(U.sum()) * 128
+        return sparse_macs < 0.7 * prog.lanes * prog.lanes
 
     # ------------------------------------------------------------------
     # Stream encoding
@@ -244,7 +274,7 @@ class ScanEngine:
         """Anchored-rescan end per record (-1 = none): smallest end (lazy
         policy) or, with ``longest=True``, largest end (greedy
         leftmost-longest -- the POSIX policy)."""
-        if self._pallas is not None and self.prog.tier != "sparse":
+        if self._pallas is not None and self._pallas.has_anchor:
             len_g = self._len_g(lengths)
             starts_g = jnp.asarray(starts).reshape(-1, self.prog.G)
             first = self._pallas.anchor_end_b(

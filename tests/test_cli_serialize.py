@@ -166,3 +166,26 @@ def test_cli_multi_pattern():
     # no pattern at all
     code, _, err = _run_cli([], LINES)
     assert code == 2 and "no pattern" in err
+
+
+def test_cli_host_backend():
+    """--backend host: self-contained native CPU scan, no device engine."""
+    from roaringregex_tpu.compiler import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    code, out, _ = _run_cli(["--backend", "host", "-n", "error"], LINES)
+    assert code == 0
+    assert out.splitlines() == ["1:error: disk full", "3:another error here"]
+    code, out, _ = _run_cli(["--backend", "host", "-c", "error"], LINES)
+    assert code == 0 and out.strip() == "2"
+    code, out, _ = _run_cli(
+        ["--backend", "host", "--fullmatch", "all good"], LINES
+    )
+    assert code == 0 and out.splitlines() == ["all good"]
+    code, out, _ = _run_cli(["--backend", "host", "-v", "error"], LINES)
+    assert out.splitlines() == ["all good", "ERROR caps"]
+    code, _, err = _run_cli(["--backend", "host", "a{3,1}"], LINES)
+    assert code == 2 and "invalid pattern" in err
+    code, _, err = _run_cli(["--backend", "host", "-o", "err"], LINES)
+    assert code == 2

@@ -111,3 +111,70 @@ def test_pack_corpus_trailing_and_empty():
     assert bytes(d[2, :3]) == b"xyz"
     d, l, cnt = native.pack_corpus_native(b"", G=4)
     assert cnt == 0 and l.sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# Host scan engine (self-contained CPU matcher, no device runtime)
+# ---------------------------------------------------------------------------
+
+
+def _host_texts():
+    return [
+        b"", b"a", b"b", b"aa", b"ab", b"abc", b"abcd", b"cat", b"dog",
+        b"catdog0", b"aaaa", b"abab", b"xyz", b"a.c", b"axc", b"]",
+        b"error.log", b"some error here", b"a" * 40, b"ab" * 17,
+    ]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_host_engine_oracle_parity(pattern):
+    """HostEngine (native/rrx_host.cc RrxScanner) must agree with the
+    oracle on fullmatch, the distinct-ends count, and the first end."""
+    from roaringregex_tpu.compiler.native import HostEngine
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    he = HostEngine(pattern)
+    orc = OracleEngine.compile(pattern)
+    for text in _host_texts():
+        assert he.fullmatch(text) == orc.fullmatch(text), (pattern, text)
+        ends = orc.ends(text)
+        assert he.count_ends(text) == len(ends), (pattern, text)
+        want_first = min(ends) if ends else -1
+        assert he.first_end(text) == want_first, (pattern, text)
+        assert he.search(text) == (len(ends) > 0), (pattern, text)
+
+
+def test_host_engine_fuzz_parity():
+    from roaringregex_tpu.compiler.native import HostEngine
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    rng = np.random.default_rng(11)
+    atoms = list("abcx.") + ["[a-c]", "[^b]", "(ab)", "(a|b)", "^", "$"]
+    quants = ["", "*", "+", "?", "{2}", "{1,3}"]
+    for _ in range(60):
+        n = int(rng.integers(1, 5))
+        pattern = "".join(
+            atoms[int(rng.integers(0, len(atoms)))]
+            + quants[int(rng.integers(0, len(quants)))]
+            for _ in range(n)
+        )
+        try:
+            he = HostEngine(pattern)
+        except RegexSyntaxError:
+            continue
+        orc = OracleEngine.compile(pattern)
+        for _ in range(6):
+            ln = int(rng.integers(0, 12))
+            text = bytes(rng.choice(list(b"abcx"), ln).astype(np.uint8))
+            assert he.fullmatch(text) == orc.fullmatch(text), (pattern, text)
+            ends = orc.ends(text)
+            assert he.count_ends(text) == len(ends), (pattern, text)
+
+
+def test_host_engine_non_ascii_dead():
+    from roaringregex_tpu.compiler.native import HostEngine
+
+    he = HostEngine("a.c")
+    assert not he.fullmatch(b"a\xffc")  # bytes >= 0x80 are dead symbols
+    assert he.fullmatch(b"abc")
+    assert he.search(b"zz a~c zz")
