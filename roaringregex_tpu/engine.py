@@ -87,7 +87,33 @@ class ScanEngine:
         self._nullable = prog.nullable if nullable is None else nullable
         self._ptables = None
         self._pallas = None
-        if self.backend == "pallas" and prog.tier == "sparse":
+        self._counting = None
+        if (
+            self.backend == "pallas"
+            and accept_map is None
+            and channels_per_record == 1
+            and prog.tier in ("multiblock", "sparse")
+        ):
+            from .ops import scan_pallas as spl
+
+            self._counting = spl.counting_plan(prog)
+        if self._counting is not None:
+            from .ops import scan_pallas as spl
+
+            # run-length (counting) tier: X{m,n} single-class repetitions
+            # collapse to one int32 per record — no follow matmul, no
+            # sparse-container kernels, no VMEM caps (the family the
+            # reference's broken Roaring tier targets, Parser.cpp:165-168)
+            self._pallas = spl.CountScanner(
+                prog, self._counting, nullable=nullable
+            )
+            if prog.tier != "sparse":
+                from .ops import scan_packed as sp
+
+                # packed tables back the anchored-rescan / span fallbacks
+                self._sp = sp
+                self._ptables = sp.packed_tables(prog)
+        elif self.backend == "pallas" and prog.tier == "sparse":
             npart = len(prog.sparse_partition[0])
             if (
                 npart > cfg.sparse_partial_max
@@ -156,6 +182,10 @@ class ScanEngine:
         blocks, so the dense path wastes most of the MXU."""
         if prog.tier != "multiblock" or prog.fblocks is None:
             return False
+        from .ops.scan_pallas import banded_offsets
+
+        if banded_offsets(np.asarray(prog.F).T, cfg.banded_max_diags):
+            return False  # banded-diagonal kernels beat both matmul forms
         pb, _, _, U = prog.sparse_partition
         npart = len(pb)
         if npart > cfg.sparse_partial_max:

@@ -480,10 +480,56 @@ def _sparse_reverse_kernel(
 # ---------------------------------------------------------------------------
 
 
+def banded_offsets(ft: np.ndarray, max_diags: int):
+    """Nonzero diagonal offsets of a transposed follow matrix, or None if
+    there are more than ``max_diags`` (or none at all). Offset d means
+    y[i] += ft[i, i-d] * v[i-d]. Bounded-repetition chains (a{1,300},
+    (ab){1,150} — the reference's pathological tier, Parser.cpp:165-168)
+    have O(1) nonzero diagonals, so F^T @ v collapses to a few static
+    lane-shifts + elementwise multiplies on the VPU instead of a lanes^2
+    MXU matmul."""
+    if max_diags <= 0:
+        return None
+    ii, jj = np.nonzero(np.asarray(ft))
+    if ii.size == 0:
+        return None
+    ks = sorted(set(int(d) for d in (ii - jj)))
+    return tuple(ks) if len(ks) <= max_diags else None
+
+
+def _apply_ft(v, ft_ref, dks, *, B: int):
+    """One automaton step y = F^T @ v. With ``dks`` set (banded mode),
+    ft_ref holds per-diagonal coefficient columns and the product is a
+    sum of shifted elementwise multiplies (see banded_offsets)."""
+    if dks is None:
+        return jnp.dot(
+            ft_ref[:], v, preferred_element_type=jnp.float32
+        ).astype(DTYPE)
+    lanes = v.shape[0]
+    y = None
+    for k, d in enumerate(dks):
+        c = ft_ref[:, k : k + 1]  # [lanes, 1]
+        if d > 0:
+            sh = jnp.concatenate(
+                [jnp.zeros((d, B), DTYPE), v[: lanes - d, :]], axis=0
+            )
+        elif d < 0:
+            sh = jnp.concatenate(
+                [v[-d:, :], jnp.zeros((-d, B), DTYPE)], axis=0
+            )
+        else:
+            sh = v
+        t = c * sh
+        y = t if y is None else y + t
+    return y
+
+
 class PallasScanner:
     """Owns kernel-layout tables + jit caches for one compiled program."""
 
     has_anchor = True  # anchored-rescan / span kernels available
+    diag_ks = None  # banded-diagonal plan (set when the follow is banded)
+    ftd = None
 
     def __init__(
         self,
@@ -508,6 +554,20 @@ class PallasScanner:
         # mask-by-matmul tables (used on G == 1 tiers: wide lanes)
         self.cspec = cls_spec(prog) if prog.G == 1 else None
         self.bct = jnp.asarray(prog.Bc.T, DTYPE)  # [lanes, c_pad]
+        # banded-diagonal plan (G == 1 tiers only: lane-packed block-diag
+        # layouts scatter the band across groups)
+        if prog.G == 1:
+            from ..utils.config import get_config
+
+            ks = banded_offsets(ft_np, get_config().banded_max_diags)
+            if ks:
+                nd_pad = max(128, _round_up(len(ks), 128))
+                tbl = np.zeros((self.lanes, nd_pad), np.float32)
+                for k, d in enumerate(ks):
+                    i = np.arange(max(0, d), min(self.lanes, self.lanes + d))
+                    tbl[i, k] = ft_np[i, i - d]
+                self.diag_ks = ks
+                self.ftd = jnp.asarray(tbl, DTYPE)
         self.at = jnp.asarray(np.asarray(ptables["A"]).T, DTYPE)
         self.sg = jnp.asarray(np.asarray(ptables["seed_groups"]).T, DTYPE)
         self.seed = ptables["seed_row"].astype(DTYPE)[:, None]
@@ -1162,6 +1222,7 @@ def _match_kernel_b(
     s_tile: int,
     spec,
     cspec=None,
+    dks=None,
 ):
     """Count-semantics scan: the per-step dependent chain is just
 
@@ -1216,9 +1277,7 @@ def _match_kernel_b(
         for m in range(r):
             d = slab[m * G : (m + 1) * G]
             tg = j * T_chunk + i * r + m
-            y = jnp.dot(
-                ft_ref[:], v, preferred_element_type=jnp.float32
-            ).astype(DTYPE)
+            y = _apply_ft(v, ft_ref, dks, B=B)
             if seeded:
                 y = y + c0
             else:
@@ -1274,6 +1333,7 @@ def _flags_kernel_b(
     lanes: int,
     s_tile: int,
     spec,
+    dks=None,
 ):
     """Counts-chain forward scan emitting per-step accept flags (see
     _match_kernel_b for the counts formulation)."""
@@ -1295,9 +1355,7 @@ def _flags_kernel_b(
         for m in range(r):
             d = slab[m * G : (m + 1) * G]
             tg = j * T_chunk + i * r + m
-            y = jnp.dot(
-                ft_ref[:], v, preferred_element_type=jnp.float32
-            ).astype(DTYPE)
+            y = _apply_ft(v, ft_ref, dks, B=B)
             if seeded:
                 y = y + c0
             else:
@@ -1844,7 +1902,9 @@ def _add_byte_path(cls):
             s_tile=self.prog.s_tile,
             spec=self.spec,
             cspec=self.cspec,
+            dks=self.diag_ks,
         )
+        fttab = self.ftd if self.diag_ks else self.ft
         gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         cspec = pl.BlockSpec((C, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         dspec = pl.BlockSpec(
@@ -1857,7 +1917,7 @@ def _add_byte_path(cls):
             in_specs=[
                 gspec,
                 dspec,
-                _full_spec((lanes, lanes)),
+                _full_spec(tuple(fttab.shape)),
                 _full_spec((lanes, 1)),
                 _full_spec(tuple(self.bct.shape)),
                 _full_spec((C, lanes)),
@@ -1870,7 +1930,7 @@ def _add_byte_path(cls):
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)]
             + [pltpu.VMEM((C, B_blk), jnp.int32)] * 4,
             interpret=_interpret(),
-        )(lenT, tm, self.ft, self.c0, self.bct, self.at, self.seed)
+        )(lenT, tm, fttab, self.c0, self.bct, self.at, self.seed)
 
     # -- forward flags ---------------------------------------------------
     def forward_flags_b(self, data, len_g, *, seeded: bool):
@@ -1910,7 +1970,9 @@ def _add_byte_path(cls):
             lanes=lanes,
             s_tile=self.prog.s_tile,
             spec=self.spec,
+            dks=self.diag_ks,
         )
+        fttab = self.ftd if self.diag_ks else self.ft
         gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         dspec = pl.BlockSpec(
             (T_chunk // r, r * G, B_blk), lambda i, j: (j, 0, i),
@@ -1922,7 +1984,7 @@ def _add_byte_path(cls):
             in_specs=[
                 gspec,
                 dspec,
-                _full_spec((lanes, lanes)),
+                _full_spec(tuple(fttab.shape)),
                 _full_spec((lanes, 1)),
                 _full_spec((C, lanes)),
                 _full_spec((lanes, 1)),
@@ -1934,7 +1996,7 @@ def _add_byte_path(cls):
             out_shape=jax.ShapeDtypeStruct((T_pad, C, B_pad), jnp.int8),
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
             interpret=_interpret(),
-        )(lenT, tm, self.ft, self.c0, self.at, self.seed)
+        )(lenT, tm, fttab, self.c0, self.at, self.seed)
 
     # -- reverse hits ----------------------------------------------------
     def reverse_hits_b(self, data, len_g):
@@ -2616,3 +2678,408 @@ def _add_longstring_calls(cls):
 
 
 _add_longstring_calls(PallasScanner)
+
+
+# ---------------------------------------------------------------------------
+# Counting tier: single-class bounded repetition X{m,n}
+# ---------------------------------------------------------------------------
+
+
+def counting_plan(prog: DeviceProgram):
+    """Detect ``X{m,n}`` (single symbol-class base) and return the
+    run-length plan ``(m, n_or_0, byte_runs)``, else None.
+
+    The Glushkov follow matrix of such patterns is a dense triangle
+    (every repetition past the m-th is optional, so each position follows
+    all earlier ones), which forces a lanes^2 matmul per byte on the
+    matrix tiers — the family the reference's Roaring tier exists for
+    (Parser.cpp:165-168, regex.h:34). But the reachable state sets are
+    always suffix intervals {k..n}, so the whole subset simulation
+    collapses to one integer per record: the length of the X-run ending
+    at the cursor (capped), with accept iff run >= m."""
+    from ..compiler.parser import BOS, EOS, Concat, Lit, Repeat, parse
+
+    try:
+        node = parse(prog.pattern)
+    except Exception:
+        return None
+    while isinstance(node, Concat) and len(node.parts) == 1:
+        node = node.parts[0]
+    if not isinstance(node, Repeat):
+        return None
+    child = node.child
+    while isinstance(child, Concat) and len(child.parts) == 1:
+        child = child.parts[0]
+    if not isinstance(child, Lit):
+        return None
+    syms = child.syms
+    if BOS in syms or EOS in syms:
+        return None
+    bs = sorted(syms)
+    runs = []
+    lo = prev = bs[0]
+    for b in bs[1:]:
+        if b == prev + 1:
+            prev = b
+        else:
+            runs.append((lo, prev))
+            lo = prev = b
+    runs.append((lo, prev))
+    n = 0 if node.hi is None else int(node.hi)
+    return int(node.lo), n, tuple(runs)
+
+
+def _in_class(d, runs):
+    x = None
+    for lo, hi in runs:
+        t = (d >= lo) & (d <= hi)
+        x = t if x is None else (x | t)
+    return x
+
+
+def _count_match_kernel(
+    len_ref,  # [GC, B] int32
+    data_ref,  # [T_chunk, GC, B] uint8
+    cnt_out,
+    first_out,
+    last_out,
+    full_out,  # [GC, B] int32
+    rl_s,  # [GC, B] int32: X-run length ending at cursor (capped)
+    ap_s,  # [GC, B] int32: all-prefix-in-X flag (unseeded/anchored runs)
+    cnt_s,
+    first_s,
+    last_s,
+    full_s,
+    *,
+    seeded: bool,
+    nullable: bool,
+    m: int,
+    n: int,
+    runs,
+    T_chunk: int,
+):
+    """Counting-tier scan: per-step state is one int32 run length per
+    record — rl' = X(byte) ? min(rl+1, cap) : 0, accept iff rl >= m.
+    Stats accumulation mirrors _match_kernel_b."""
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    lens = len_ref[:]
+    mm = max(m, 1)
+    cap = n if n else mm
+
+    @pl.when(j == 0)
+    def _init():
+        rl_s[:] = jnp.zeros_like(lens)
+        ap_s[:] = jnp.ones_like(lens)
+        if nullable:
+            if seeded:
+                cnt_s[:] = lens + 1
+                last_s[:] = lens
+            else:
+                cnt_s[:] = jnp.ones_like(lens)
+                last_s[:] = jnp.zeros_like(lens)
+            first_s[:] = jnp.zeros_like(lens)
+        else:
+            cnt_s[:] = jnp.zeros_like(lens)
+            first_s[:] = jnp.full_like(lens, -1)
+            last_s[:] = jnp.full_like(lens, -1)
+        full_s[:] = (
+            (lens == 0).astype(jnp.int32) if nullable else jnp.zeros_like(lens)
+        )
+
+    def body(i, _):
+        d = data_ref[i].astype(jnp.int32)  # [GC, B]
+        tg = j * T_chunk + i
+        x = _in_class(d, runs) & (tg >= 1) & (tg <= lens)
+        rl = jnp.where(x, jnp.minimum(rl_s[:] + 1, cap), 0)
+        rl_s[:] = rl
+        if seeded:
+            fl = rl >= mm
+        else:
+            ap = ap_s[:] * jnp.where(x | (tg < 1) | (tg > lens), 1, 0)
+            ap_s[:] = ap
+            fl = (ap > 0) & (tg >= mm) & (tg <= lens)
+            if n:
+                fl = fl & (tg <= n)
+        e = jnp.minimum(tg, lens)
+        if not (nullable and seeded):
+            new = fl & (e != last_s[:])
+            cnt_s[:] = cnt_s[:] + new.astype(jnp.int32)
+        first_s[:] = jnp.where((first_s[:] < 0) & fl, e, first_s[:])
+        last_s[:] = jnp.where(fl, e, last_s[:])
+        full_s[:] = full_s[:] | (fl & (tg >= lens)).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        cnt_out[:] = cnt_s[:]
+        first_out[:] = first_s[:]
+        last_out[:] = last_s[:]
+        full_out[:] = full_s[:]
+
+
+def _count_flags_kernel(
+    len_ref,
+    data_ref,
+    flags_out,  # [T_chunk, GC, B] int8
+    rl_s,
+    ap_s,
+    *,
+    seeded: bool,
+    m: int,
+    n: int,
+    runs,
+    T_chunk: int,
+):
+    j = pl.program_id(1)
+    lens = len_ref[:]
+    mm = max(m, 1)
+    cap = n if n else mm
+
+    @pl.when(j == 0)
+    def _init():
+        rl_s[:] = jnp.zeros_like(lens)
+        ap_s[:] = jnp.ones_like(lens)
+
+    def body(i, _):
+        d = data_ref[i].astype(jnp.int32)
+        tg = j * T_chunk + i
+        x = _in_class(d, runs) & (tg >= 1) & (tg <= lens)
+        rl = jnp.where(x, jnp.minimum(rl_s[:] + 1, cap), 0)
+        rl_s[:] = rl
+        if seeded:
+            fl = rl >= mm
+        else:
+            ap = ap_s[:] * jnp.where(x | (tg < 1) | (tg > lens), 1, 0)
+            ap_s[:] = ap
+            fl = (ap > 0) & (tg >= mm) & (tg <= lens)
+            if n:
+                fl = fl & (tg <= n)
+        flags_out[i] = fl.astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+
+def _count_reverse_kernel(
+    len_ref,
+    data_ref,  # chunk nT-1-j of the stream
+    hits_out,  # [T_chunk, GC, B] int8
+    rl_s,  # suffix X-run length (bytes tg-1, tg, ... all in X)
+    *,
+    m: int,
+    runs,
+    T_chunk: int,
+):
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    lens = len_ref[:]
+    mm = max(m, 1)
+
+    @pl.when(j == 0)
+    def _init():
+        rl_s[:] = jnp.zeros_like(lens)
+
+    def body(i, _):
+        iq = T_chunk - 1 - i
+        d = data_ref[iq].astype(jnp.int32)
+        tg = (nT - 1 - j) * T_chunk + iq
+        x = _in_class(d, runs) & (tg >= 1) & (tg <= lens)
+        rl = jnp.where(x, jnp.minimum(rl_s[:] + 1, mm), 0)
+        rl_s[:] = rl
+        hits_out[iq] = (rl >= mm).astype(jnp.int8)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk, body, 0)
+
+
+class CountScanner:
+    """Run-length scanner for ``X{m,n}`` (see counting_plan). Packs
+    GC = 32 records per sublane row (the int8 slab tile height), so each
+    kernel step consumes 32 * B_blk corpus bytes with a handful of int32
+    VPU ops — no follow matmul at all. Anchored-rescan / span kernels
+    fall back to the packed/XLA paths (``has_anchor = False``)."""
+
+    has_anchor = False
+    GC = 32
+
+    def __init__(self, prog: DeviceProgram, plan, nullable: "bool | None" = None):
+        self.prog = prog
+        self.m, self.n, self.runs = plan
+        self.nullable = prog.nullable if nullable is None else nullable
+
+    # -- geometry ----------------------------------------------------------
+    def _geom(self, L: int, B_rows: int):
+        from ..utils.config import get_config
+
+        cfg = get_config()
+        T = L + 2
+        b_cap = min(B_BLK_MAX, cfg.b_blk_max)
+        B_blk = min(b_cap, _round_up(max(B_rows, 1), 128))
+        B_pad = _round_up(max(B_rows, 1), B_blk)
+        t_cap = max(8, STREAM_VMEM_BUDGET // (self.GC * B_blk))
+        T_chunk = min(_pow2_floor(t_cap), cfg.t_chunk_max, T_CHUNK_MAX)
+        T_chunk = min(T_chunk, max(8, _round_up(T, 8)))
+        T_pad = _round_up(T, T_chunk)
+        return T, T_pad, B_pad, B_blk, T_chunk
+
+    def _pack32(self, data, len_g):
+        B = len_g.shape[0] * len_g.shape[1]
+        lens = jnp.asarray(len_g).reshape(-1)
+        Bp = _round_up(max(B, 1), self.GC)
+        data = jnp.pad(jnp.asarray(data), ((0, Bp - B), (0, 0)))
+        lens = jnp.pad(lens, (0, Bp - B))
+        return data, lens.reshape(Bp // self.GC, self.GC), Bp // self.GC, B
+
+    def _lenT(self, lg, B_pad):
+        B_rows = lg.shape[0]
+        return jnp.pad(
+            jnp.transpose(lg, (1, 0)), ((0, 0), (0, B_pad - B_rows))
+        )
+
+    # -- match stats -------------------------------------------------------
+    def match_stats_b(self, data, len_g, *, seeded: bool):
+        data, lg, B_rows, B = self._pack32(data, len_g)
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom(L, B_rows)
+        lenT = self._lenT(lg, B_pad)
+        cnt, first, last, full = self._match_call(
+            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk
+        )
+        sl = lambda x: (
+            jnp.transpose(x[:, :B_rows], (1, 0)).reshape(-1)[:B].reshape(B, 1)
+        )
+        cnt, first, last, full = sl(cnt), sl(first), sl(last), sl(full)
+        return cnt, first, last, full > 0, cnt > 0
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk"
+        ),
+    )
+    def _match_call(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk):
+        GC = self.GC
+        tm = _time_major(data, GC, L, T_pad, B_pad, 1)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _count_match_kernel,
+            seeded=seeded,
+            nullable=self.nullable,
+            m=self.m,
+            n=self.n,
+            runs=self.runs,
+            T_chunk=T_chunk,
+        )
+        gspec = pl.BlockSpec(
+            (GC, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (T_chunk, GC, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[gspec, dspec],
+            out_specs=(gspec,) * 4,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((GC, B_pad), jnp.int32) for _ in range(4)
+            ),
+            scratch_shapes=[pltpu.VMEM((GC, B_blk), jnp.int32)] * 6,
+            interpret=_interpret(),
+        )(lenT, tm)
+
+    # -- forward flags -----------------------------------------------------
+    def forward_flags_b(self, data, len_g, *, seeded: bool):
+        data, lg, B_rows, B = self._pack32(data, len_g)
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom(L, B_rows)
+        lenT = self._lenT(lg, B_pad)
+        flags = self._flags_call(
+            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk
+        )  # [T_pad, GC, B_pad]
+        fl = (
+            flags[:T, :, :B_rows].transpose(2, 1, 0).reshape(-1, T)[:B]
+        )
+        flag0 = jnp.full((B, 1), bool(self.prog.nullable), bool)
+        return jnp.concatenate([flag0, fl > 0], axis=1)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk"
+        ),
+    )
+    def _flags_call(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk):
+        GC = self.GC
+        tm = _time_major(data, GC, L, T_pad, B_pad, 1)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _count_flags_kernel,
+            seeded=seeded,
+            m=self.m,
+            n=self.n,
+            runs=self.runs,
+            T_chunk=T_chunk,
+        )
+        gspec = pl.BlockSpec(
+            (GC, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (T_chunk, GC, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[gspec, dspec],
+            out_specs=dspec,
+            out_shape=jax.ShapeDtypeStruct((T_pad, GC, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((GC, B_blk), jnp.int32)] * 2,
+            interpret=_interpret(),
+        )(lenT, tm)
+
+    # -- reverse hits ------------------------------------------------------
+    def reverse_hits_b(self, data, len_g):
+        data, lg, B_rows, B = self._pack32(data, len_g)
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom(L, B_rows)
+        lenT = self._lenT(lg, B_pad)
+        hits = self._reverse_call(data, lenT, L, T_pad, B_pad, B_blk, T_chunk)
+        h = hits[:T, :, :B_rows].transpose(2, 1, 0).reshape(-1, T)[:B]
+        return h > 0
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "L", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _reverse_call(self, data, lenT, L, T_pad, B_pad, B_blk, T_chunk):
+        GC = self.GC
+        tm = _time_major(data, GC, L, T_pad, B_pad, 1)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _count_reverse_kernel,
+            m=self.m,
+            runs=self.runs,
+            T_chunk=T_chunk,
+        )
+        gspec = pl.BlockSpec(
+            (GC, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (T_chunk, GC, B_blk),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[gspec, dspec],
+            out_specs=dspec,
+            out_shape=jax.ShapeDtypeStruct((T_pad, GC, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((GC, B_blk), jnp.int32)],
+            interpret=_interpret(),
+        )(lenT, tm)

@@ -94,10 +94,20 @@ class DistScanner:
             tables = dict(tables)
             tables["A"] = jnp.asarray(accept_map, jnp.bfloat16)
         self._plk = None
-        if self.dense and jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu":
             from ..ops import scan_pallas as spl
 
-            self._plk = spl.PallasScanner(prog, tables, nullable=nullable)
+            plan = (
+                spl.counting_plan(prog)
+                if accept_map is None and channels_per_record == 1
+                and prog.tier in ("multiblock", "sparse")
+                else None
+            )
+            if plan is not None:
+                # run-length tier: X{m,n} scans with no follow matmul
+                self._plk = spl.CountScanner(prog, plan, nullable=nullable)
+            elif self.dense:
+                self._plk = spl.PallasScanner(prog, tables, nullable=nullable)
         # replicate tables on every chip (broadcast once, like the
         # "transition tables replicated" requirement of BASELINE config 5)
         rep = NamedSharding(mesh, P())
@@ -109,6 +119,17 @@ class DistScanner:
         """Per-shard (count, first, any): the packed gather-free path on
         dense tiers, unpacked fallback on the sparse tier."""
         prog = self.prog
+        if self._plk is not None and not self._plk.has_anchor:
+            # counting tier: run-length kernels, any B (pads internally)
+            cnt, first, _, _, anym = self._plk.match_stats_b(
+                d, l.reshape(-1, 1), seeded=seeded
+            )
+            B0c = d.shape[0]
+            return (
+                cnt.reshape(-1)[:B0c],
+                first.reshape(-1)[:B0c],
+                anym.reshape(-1)[:B0c],
+            )
         if self.dense:
             # pad the local shard to a packing-group multiple (zero-length
             # phantom records; sliced off before any reduction)
@@ -233,7 +254,11 @@ class DistScanner:
                 d = jnp.pad(d, ((0, Bp - B0), (0, 0)))
                 l = jnp.pad(l, (0, Bp - B0))
             len_g = l.reshape(-1, G)
-            if self._plk is not None and not prog.nullable:
+            if (
+                self._plk is not None
+                and self._plk.has_anchor
+                and not prog.nullable
+            ):
                 if longest:
                     s, e, cnt, over = self._plk.greedy_spans_b(
                         d, len_g, cap=cap

@@ -38,6 +38,12 @@ class RrxConfig:
     slab_r: int = field(default_factory=lambda: _env_int("RRX_SLAB_R", 0))
     # long-string mode block length
     long_block: int = field(default_factory=lambda: _env_int("RRX_LONG_BLOCK", 4096))
+    # banded follow matrices (bounded-repetition chains): apply F^T as
+    # <= this many diagonal shift+multiply VPU ops instead of the dense
+    # lanes^2 MXU matmul; 0 disables the banded kernels
+    banded_max_diags: int = field(
+        default_factory=lambda: _env_int("RRX_BANDED_MAX_DIAGS", 8)
+    )
     # sparse-tier VMEM caps (partial containers / lane width)
     sparse_partial_max: int = field(
         default_factory=lambda: _env_int("RRX_SPARSE_PARTIAL_MAX", 120)
