@@ -120,6 +120,8 @@ CONFIGS = {
             multi=True),
     7: dict(pattern="cat|dog", rec_len=1024, name="span extraction (device)",
             spans=True),
+    8: dict(pattern="cat|dog", rec_len=0, name="ONE long string (seq-parallel)",
+            longstr=True),
 }
 
 
@@ -209,6 +211,43 @@ def bench_multi(patterns, data, lengths, *, iters: int = 6, pipeline: int = 64):
     return float(np.median(samples)), int(total)
 
 
+def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
+    """Config 8: sequence parallelism — ONE long string split across
+    kernel windows (the reference is strictly sequential here,
+    regex.h:157). Uses the data as one flat byte stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from roaringregex_tpu.compiler.program import compile_program
+    from roaringregex_tpu.ops.longstring import make_long_scanner
+
+    text = np.ascontiguousarray(data).reshape(-1)
+    # plant a couple of matches so the count is nonzero
+    text[len(text) // 3 : len(text) // 3 + 3] = np.frombuffer(b"cat", np.uint8)
+    n = len(text)
+    prog = compile_program(pattern)
+    sc = make_long_scanner(prog)
+    mode = (
+        "overlapped" if getattr(sc, "overlap", None) is not None else "summary"
+    )
+    d = jax.device_put(jnp.asarray(text))
+    t0 = time.perf_counter()
+    total = int(sc.count_ends(d))
+    log(f"  [longstr n={n} mode={mode}] compile+first: "
+        f"{time.perf_counter()-t0:.1f}s, matches={total}")
+    pipeline = 16 if jax.default_backend() == "tpu" else 2
+    run = sc._run if hasattr(sc, "_run") else (
+        lambda dd, s, m: sc.count_ends(dd)
+    )
+    samples = []
+    for _ in range(max(3, iters // 2)):
+        t0 = time.perf_counter()
+        outs = [run(d, True, "count") for _ in range(pipeline)]
+        jax.block_until_ready(outs)
+        samples.append(n * pipeline / (time.perf_counter() - t0))
+    return float(np.median(samples)), total
+
+
 def bench_sharded(pattern: str, data, lengths, *, iters: int = 6,
                   pipeline: int = 64):
     """Config 5: DistScanner over the full device mesh (tables replicated,
@@ -263,9 +302,12 @@ def main():
     for ci in cfgs:
         cfg = CONFIGS[ci]
         data, lengths = make_corpus(
-            total_bytes, cfg["rec_len"], plant=cfg.get("plant", (b"cat", b"dog"))
+            total_bytes, cfg["rec_len"] or 1024,
+            plant=cfg.get("plant", (b"cat", b"dog")),
         )
-        if cfg.get("sharded"):
+        if cfg.get("longstr"):
+            bps, total = bench_longstr(cfg["pattern"], data, lengths)
+        elif cfg.get("sharded"):
             bps, total = bench_sharded(cfg["pattern"], data, lengths)
         elif cfg.get("multi"):
             bps, total = bench_multi(cfg["pattern"], data, lengths)

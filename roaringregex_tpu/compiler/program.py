@@ -174,6 +174,56 @@ class DeviceProgram:
         return self.nfa.pattern
 
     @property
+    def horizon(self) -> Optional[int]:
+        """Longest path length in the follow graph, or None if cyclic.
+
+        When finite, the automaton's state d steps after any stream
+        position depends only on the last ``horizon`` stream steps plus
+        seed injections: every active position is the endpoint of a
+        follow path from a start, and all paths have length <= horizon.
+        This bounds match length AND the influence of a block's entry
+        frontier, enabling the exact overlapped long-string fast path
+        (ops/longstring.py) that scans overlapping slices at full batch
+        rate instead of carrying per-block summary bases."""
+        if getattr(self, "_horizon", None) is None:
+            S = self.n_states
+            fm = self.nfa.follow_matrix
+            adj = [np.nonzero(fm[s][:S])[0] for s in range(S)]
+            color = np.zeros(S, np.int8)  # 0 new, 1 on stack, 2 done
+            depth = np.zeros(S, np.int64)
+            cyclic = False
+            for root in range(S):
+                if color[root]:
+                    continue
+                stack = [(root, 0)]
+                while stack:
+                    u, it = stack[-1]
+                    if it == 0:
+                        color[u] = 1
+                    nxt = adj[u]
+                    if it < len(nxt):
+                        stack[-1] = (u, it + 1)
+                        v = int(nxt[it])
+                        if color[v] == 1:
+                            cyclic = True
+                            stack.clear()
+                            break
+                        if color[v] == 0:
+                            stack.append((v, 0))
+                        else:
+                            depth[u] = max(depth[u], depth[v] + 1)
+                    else:
+                        color[u] = 2
+                        stack.pop()
+                        if stack:
+                            p = stack[-1][0]
+                            depth[p] = max(depth[p], depth[u] + 1)
+                if cyclic:
+                    break
+            self._horizon = (-1 if cyclic else int(depth.max(initial=0)))
+        return None if self._horizon < 0 else self._horizon
+
+    @property
     def n_states(self) -> int:
         return self.nfa.n_states
 

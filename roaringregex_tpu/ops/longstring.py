@@ -271,14 +271,28 @@ class LongScanner:
 
 
 class FastLongScanner:
-    """Long-string scan through the lane-packed Pallas kernels.
+    """Long-string scan through the lane-packed, byte-fused Pallas kernels.
 
-    Pass 1 packs each block's S+1 summary pseudo-records (identity states +
-    seed accumulator) into MXU rows and carries them with the VMEM-resident
-    kernel; pass 2 replays the real block chains from their prefix-combined
-    entry states. ~100x the XLA path's row rate. Dense tiers with
-    s_tile <= 32 (the common grep patterns); larger automata use
-    LongScanner's portable path.
+    Two modes, chosen per pattern (both stream raw bytes into the kernels
+    — in-kernel byte->mask with per-window global-stream offsets, no HBM
+    mask stream):
+
+    * **Overlapped windows** — patterns whose follow graph is acyclic have
+      a finite influence horizon (DeviceProgram.horizon): the seeded state
+      at any stream step depends only on the last ``horizon`` steps plus
+      the per-step seeds. Each window re-scans ``overlap`` extra entry
+      steps and is then exact, so ONE batched pass at full packed rate
+      replaces summaries + prefix + replay entirely. This covers the
+      common grep patterns (literals, unions, brackets, bounded reps).
+    * **Summary + replay** — cyclic patterns (unbounded Kleene) and
+      unseeded fullmatch scans: pass 1 packs each block's S+1 summary
+      pseudo-records into MXU rows (Q blocks per 128-lane row when the
+      basis fits G//Q slots), a tiny associative prefix combines the
+      affine summaries, pass 2 replays blocks from their entry states.
+
+    Dense tiers with s_tile <= 32 (the common grep patterns); larger
+    automata use LongScanner's portable path. Stream offsets are int32:
+    single strings up to ~2 GB (shard longer corpora, parallel/dist.py).
     """
 
     def __init__(self, prog: DeviceProgram, block: int = 16384):
@@ -295,158 +309,38 @@ class FastLongScanner:
         self.s_tile, self.G, self.lanes = prog.s_tile, prog.G, prog.lanes
         self.P1 = self.S + 1
         self.rows_pb = -(-self.P1 // self.G)
-        k = 32 // self.s_tile
-        self.repl = sum(1 << (m * self.s_tile) for m in range(k))
-        lo, hi, cl = prog.byte_runs
-        self._runs = (lo, hi, prog.Bc_words[cl][:, 0] if len(cl) else
-                      np.zeros(0, np.uint32))
-        self._bos = int(prog.Bc_words[prog.bos_class][0])
-        self._eos = int(prog.Bc_words[prog.eos_class][0])
-
-    # -- global stream of tile mask words --------------------------------
-    @functools.partial(jax.jit, static_argnames=("self", "n", "total"))
-    def _tile_words(self, data: jnp.ndarray, *, n: int, total: int):
-        lo, hi, words = self._runs
-        dd = data.astype(jnp.int32)
-        tile = jnp.zeros((n,), jnp.uint32)
-        for r in range(len(lo)):
-            hit = (dd >= int(lo[r])) & (dd <= int(hi[r]))
-            tile = tile | jnp.where(hit, jnp.uint32(int(words[r])), jnp.uint32(0))
-        out = jnp.zeros((total,), jnp.uint32)
-        out = out.at[0].set(jnp.uint32(self._bos))
-        out = out.at[1 : n + 1].set(tile)
-        out = out.at[n + 1].set(jnp.uint32(self._eos))
-        return out
-
-    # -- passes ----------------------------------------------------------
-    @functools.partial(
-        jax.jit, static_argnames=("self", "n", "seeded")
-    )
-    def _flags_impl(self, data, v0_1, gates1, gates2, *, n: int, seeded: bool):
-        """The full two-pass pipeline as ONE device program (eager op
-        dispatch through a remote TPU costs more than the compute)."""
-        G, s_tile, lanes = self.G, self.s_tile, self.lanes
-        S, P1, rows_pb, block = self.S, self.P1, self.rows_pb, self.block
-        T = n + 2
-        nb = -(-T // block)
-        total = nb * block
-        W = lanes // 32
-        geom = self.scanner._blk_limits(2048)
-
-        tile = self._tile_words(data, n=n, total=total)
-        tile_bn = tile.reshape(nb, block)
-
-        # ---- pass 1: block summaries ---------------------------------
-        B1 = nb * rows_pb
-        B_blk = min(geom[0], ((B1 + 127) // 128) * 128)
-        B1p = -(-B1 // B_blk) * B_blk
-        T_chunk = min(geom[1], 128)
-        w1 = (tile_bn * jnp.uint32(self.repl)).T  # [block, nb]
-        if rows_pb > 1:
-            w1 = jnp.repeat(w1, rows_pb, axis=1)
-        w1 = jnp.pad(w1, ((0, 0), (0, B1p - B1)))
-        stream1 = jnp.broadcast_to(w1[:, None, :], (block, W, B1p))
-        vf = self.scanner._carry_call(
-            stream1, v0_1, gates1, seeded, block, B1p, B_blk, T_chunk
-        )  # [lanes, B1p]
-        pr = (
-            jnp.transpose(vf[:, :B1], (1, 0))
-            .reshape(nb, rows_pb, G, s_tile)
-            .reshape(nb, rows_pb * G, s_tile)[:, :P1, :S]
+        h = prog.horizon
+        self.overlap = (
+            h + 2 if (h is not None and h + 2 <= block // 8) else None
         )
-        Ms = pr[:, :S, :].astype(DTYPE)
-        ss = pr[:, S, :].astype(DTYPE)
-        ventry = prefix_entries(Ms, ss)  # [nb, S]
+        Q = 1
+        while Q * 2 <= self.G and self.P1 <= self.G // (Q * 2):
+            Q *= 2
+        self.Q1 = Q if self.rows_pb == 1 else 1
+        self._p1_cache: dict = {}
 
-        # ---- pass 2: replay real blocks ------------------------------
-        rows2 = -(-nb // G)
-        B_blk2 = min(geom[0], ((rows2 + 127) // 128) * 128)
-        B2p = -(-rows2 // B_blk2) * B_blk2
-        k = 32 // s_tile
-        nbp = B2p * G
-        tile_p = jnp.pad(tile_bn, ((0, nbp - nb), (0, 0)))
-        t3 = tile_p.T.reshape(block, B2p, W, k)  # g = w*k + m
-        shifts = (jnp.arange(k, dtype=jnp.uint32) * s_tile)[
-            None, None, None, :
-        ]
-        w2 = jnp.sum(
-            (t3 << shifts).astype(jnp.uint32), axis=3, dtype=jnp.uint32
-        )
-        stream2 = jnp.transpose(w2, (0, 2, 1))  # [block, W, B2p]
-        # scatter entry states into packed lanes: record b = r*G + g
-        ve = jnp.pad(ventry, ((0, nbp - nb), (0, s_tile - S)))
-        v02 = jnp.transpose(
-            ve.reshape(B2p, G, s_tile).reshape(B2p, lanes), (1, 0)
-        ).astype(DTYPE)
-        flags = self.scanner._flags_v0_call(
-            stream2, v02, gates2, seeded, block, B2p, B_blk2,
-            min(geom[1], 128),
-        )  # [block, G, B2p]
-        out = jnp.transpose(flags, (2, 1, 0)).reshape(nbp, block)[:nb]
-        return out.reshape(-1)[:T]  # device int8 [T]
+    # -- geometry ---------------------------------------------------------
+    def _geom(self, T_steps: int, B_rows: int, Q: int, t_div: int = 0):
+        """(T_pad, B_pad, B_blk, T_chunk, r) for windows of T_steps steps
+        with Q byte rows per step. ``t_div``: force T_chunk | t_div (pass 1
+        summaries must stop exactly at the block boundary)."""
+        import math
 
-    def _host_gates(self, nb: int, seeded: bool):
-        """(v0_1, gates1, gates2) for a given block count (cached)."""
-        key = (nb, seeded)
-        cache = getattr(self, "_gate_cache", None)
-        if cache is None:
-            cache = self._gate_cache = {}
-        if key in cache:
-            return cache[key]
-        G, s_tile, lanes = self.G, self.s_tile, self.lanes
-        S, P1, rows_pb = self.S, self.P1, self.rows_pb
-        B1 = nb * rows_pb
-        geom = self.scanner._blk_limits(2048)
-        B_blk = min(geom[0], ((B1 + 127) // 128) * 128)
-        B1p = -(-B1 // B_blk) * B_blk
-        v0 = np.zeros((lanes, B1p), np.float32)
-        gates = np.zeros((G, B1p), np.float32)
-        for kb in range(nb):
-            for j in range(rows_pb):
-                col = kb * rows_pb + j
-                for g in range(G):
-                    ps = j * G + g
-                    if ps < S:
-                        v0[g * s_tile + ps, col] = 1.0
-                    elif ps == P1 - 1 and (seeded or kb == 0):
-                        gates[g, col] = 1.0
-        rows2 = -(-nb // G)
-        B_blk2 = min(geom[0], ((rows2 + 127) // 128) * 128)
-        B2p = -(-rows2 // B_blk2) * B_blk2
-        gates2 = np.zeros((G, B2p), np.float32)
-        for b in range(nb if seeded else 1):
-            r, g = divmod(b, G)
-            gates2[g, r] = 1.0
-        out = (
-            jnp.asarray(v0, DTYPE),
-            jnp.asarray(gates, DTYPE),
-            jnp.asarray(gates2, DTYPE),
-        )
-        cache[key] = out
-        return out
+        cap_b, cap_t = self.scanner._blk_limits(2048)
+        B_blk = min(cap_b, -(-max(B_rows, 1) // 128) * 128)
+        B_pad = -(-max(B_rows, 1) // B_blk) * B_blk
+        r = max(1, min(32 // Q, 8))
+        tc = max(r, (min(cap_t, 512) // r) * r)
+        if t_div:
+            tc = max(r, math.gcd(t_div, tc))
+        T_chunk = tc
+        T_pad = -(-T_steps // T_chunk) * T_chunk
+        return T_pad, B_pad, B_blk, T_chunk, r
 
-    def flags(self, text, *, seeded: bool = True):
-        """[T = len+2] accept flags per global stream step (device int8).
-        ``text`` may be bytes or a device-resident uint8 array (preferred
-        for repeated scans: host->device transfer dominates otherwise)."""
-        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
-        nb = -(-(n + 2) // self.block)
-        data = (
-            jnp.asarray(np.frombuffer(text, np.uint8))
-            if isinstance(text, (bytes, bytearray))
-            else jnp.asarray(text)
-        )
-        v0_1, gates1, gates2 = self._host_gates(nb, seeded)
-        return self._flags_impl(
-            data, v0_1, gates1, gates2, n=n, seeded=seeded
-        )
-
-    @functools.partial(jax.jit, static_argnames=("self", "n", "seeded", "mode"))
-    def _reduce_impl(self, data, v0_1, g1, g2, *, n, seeded, mode):
-        """flags + scalar reduction in ONE device program (pulling the raw
-        flag stream or reducing it eagerly costs more than the scan on a
-        remote TPU)."""
-        flags = self._flags_impl(data, v0_1, g1, g2, n=n, seeded=seeded)
+    @staticmethod
+    def _tail(flags, n: int, mode: str):
+        if mode == "flags":
+            return flags
         if mode == "count":
             body = jnp.sum((flags[:n] > 0).astype(jnp.int32))
             tail = ((flags[n] > 0) | (flags[n + 1] > 0)).astype(jnp.int32)
@@ -455,16 +349,216 @@ class FastLongScanner:
             return jnp.any(flags[: n + 2] > 0)
         return (flags[n] > 0) | (flags[n + 1] > 0)  # fullmatch
 
-    def _reduce(self, text, seeded, mode):
-        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
-        nb = -(-(n + 2) // self.block)
+    # -- shared window-batch byte layout ----------------------------------
+    def _window_tm(self, data, n: int, B_pad: int, T_pad: int, r: int,
+                   lead: int):
+        """[T_pad//r, r*G, B_pad] slab layout where window w = col*G + g
+        covers global stream steps [w*block - (lead-1), ...): element
+        (w, t) = text byte at global index w*block + t - lead."""
+        G, block = self.G, self.block
+        nbp = B_pad * G
+        ext = nbp * block + T_pad
+        de = jnp.zeros(ext, jnp.uint8).at[lead : lead + n].set(data)
+        segs = [
+            de[i * block : i * block + nbp * block].reshape(nbp, block)
+            for i in range(-(-T_pad // block))
+        ]
+        wb = jnp.concatenate(segs, axis=1)[:, :T_pad]  # [nbp, T_pad]
+        return (
+            wb.reshape(B_pad, G, T_pad)
+            .transpose(2, 1, 0)
+            .reshape(T_pad // r, r * G, B_pad)
+        )
+
+    def _slot_windows(self, B_pad: int):
+        """[G, B_pad] int32 window index per (slot, column)."""
+        G = self.G
+        return (
+            jnp.arange(B_pad, dtype=jnp.int32)[None, :] * G
+            + jnp.arange(G, dtype=jnp.int32)[:, None]
+        )
+
+    # -- overlapped fast path (bounded-horizon patterns, seeded) ----------
+    @functools.partial(jax.jit, static_argnames=("self", "n", "mode"))
+    def _ov_impl(self, data, *, n: int, mode: str):
+        G, lanes, block, o = self.G, self.lanes, self.block, self.overlap
+        T = n + 2
+        nb = -(-T // block)
+        rows = -(-nb // G)
+        T_pad, B_pad, B_blk, T_chunk, r = self._geom(block + o, rows, G)
+        tm = self._window_tm(data, n, B_pad, T_pad, r, lead=o + 1)
+        w = self._slot_windows(B_pad)
+        bosr = o + 1 - w * block
+        eosr = (n + o + 1) - w * block
+        v0 = jnp.zeros((lanes, B_pad), DTYPE)
+        gates = jnp.ones((G, B_pad), DTYPE)
+        flags = self.scanner._flags_v0_call_b(
+            tm, v0, gates, bosr, eosr, True,
+            T_pad, B_pad, B_blk, T_chunk, r, G,
+        )  # [T_pad, G, B_pad]
+        out = (
+            flags[o : o + block]
+            .transpose(2, 1, 0)
+            .reshape(B_pad * G, block)[:nb]
+            .reshape(-1)[:T]
+        )
+        return self._tail(out, n, mode)
+
+    # -- summary + replay (cyclic patterns / unseeded scans) --------------
+    def _p1_layout(self, nb: int, seeded: bool):
+        """Cached (v0 [lanes, B1p], gates [G, B1p]) host arrays packing the
+        S+1 summary pseudo-records of each block (basis states + seed
+        accumulator) into kernel columns."""
+        key = (nb, seeded)
+        hit = self._p1_cache.get(key)
+        if hit is not None:
+            return hit
+        G, s_tile, lanes = self.G, self.s_tile, self.lanes
+        S, P1, Q, rows_pb = self.S, self.P1, self.Q1, self.rows_pb
+        if rows_pb == 1:
+            ncol = -(-nb // Q)
+            B1 = ncol
+        else:
+            B1 = nb * rows_pb
+        _, B1p, _, _, _ = self._geom(self.block, B1, Q, t_div=self.block)
+        v0 = np.zeros((lanes, B1p), np.float32)
+        g1 = np.zeros((G, B1p), np.float32)
+        if rows_pb == 1:
+            R = G // Q
+            for c in range(ncol):
+                for q in range(Q):
+                    b = c * Q + q
+                    if b >= nb:
+                        continue
+                    for ps in range(S):
+                        v0[(q * R + ps) * s_tile + ps, c] = 1.0
+                    if seeded or b == 0:
+                        g1[q * R + S, c] = 1.0
+        else:
+            for kb in range(nb):
+                for j in range(rows_pb):
+                    col = kb * rows_pb + j
+                    for g in range(G):
+                        ps = j * G + g
+                        if ps < S:
+                            v0[g * s_tile + ps, col] = 1.0
+                        elif ps == P1 - 1 and (seeded or kb == 0):
+                            g1[g, col] = 1.0
+        out = (jnp.asarray(v0, DTYPE), jnp.asarray(g1, DTYPE))
+        self._p1_cache[key] = out
+        return out
+
+    @functools.partial(jax.jit, static_argnames=("self", "n", "seeded", "mode"))
+    def _sum_impl(self, data, v0_1, gates1, *, n: int, seeded: bool, mode: str):
+        G, lanes, s_tile, block = self.G, self.lanes, self.s_tile, self.block
+        S, P1, Q, rows_pb = self.S, self.P1, self.Q1, self.rows_pb
+        T = n + 2
+        nb = -(-T // block)
+
+        # ---- pass 1: block summaries (Q blocks per column) -------------
+        if rows_pb == 1:
+            ncol = -(-nb // Q)
+            B1 = ncol
+        else:
+            ncol = nb * rows_pb
+            B1 = ncol
+        nbq = (ncol * Q) if rows_pb == 1 else nb
+        _, B1p, B_blk1, T_chunk1, r1 = self._geom(
+            block, B1, Q, t_div=block
+        )
+        de = jnp.zeros(nbq * block, jnp.uint8).at[1 : 1 + n].set(data)
+        dbn = de.reshape(nbq, block)
+        if rows_pb == 1:
+            cols = jnp.pad(
+                dbn.reshape(ncol, Q, block), ((0, B1p - ncol), (0, 0), (0, 0))
+            )
+            tm1 = cols.transpose(2, 1, 0).reshape(block // r1, r1 * Q, B1p)
+            b_idx = (
+                jnp.arange(B1p, dtype=jnp.int32)[None, :] * Q
+                + jnp.arange(Q, dtype=jnp.int32)[:, None]
+            )
+        else:
+            rows_arr = jnp.pad(
+                jnp.repeat(dbn, rows_pb, axis=0), ((0, B1p - B1), (0, 0))
+            )
+            tm1 = rows_arr.T.reshape(block // r1, r1, B1p)
+            b_idx = (jnp.arange(B1p, dtype=jnp.int32) // rows_pb)[None, :]
+        bosr1 = 1 - b_idx * block
+        eosr1 = (n + 1) - b_idx * block
+        vf = self.scanner._carry_call_b(
+            tm1, v0_1, gates1, bosr1, eosr1, seeded,
+            block, B1p, B_blk1, T_chunk1, r1, Q,
+        )  # [lanes, B1p]
+        if rows_pb == 1:
+            R = G // Q
+            pr = (
+                jnp.transpose(vf[:, :ncol], (1, 0))
+                .reshape(ncol, Q, R, s_tile)[:, :, :P1, :S]
+                .reshape(ncol * Q, P1, S)[:nb]
+            )
+        else:
+            pr = (
+                jnp.transpose(vf[:, : nb * rows_pb], (1, 0))
+                .reshape(nb, rows_pb, G, s_tile)
+                .reshape(nb, rows_pb * G, s_tile)[:, :P1, :S]
+            )
+        Ms = pr[:, :S, :].astype(DTYPE)
+        ss = pr[:, S, :].astype(DTYPE)
+        ventry = prefix_entries(Ms, ss)  # [nb, S]
+
+        # ---- pass 2: replay real blocks from their entry states --------
+        rows2 = -(-nb // G)
+        T2_pad, B2p, B_blk2, T_chunk2, r2 = self._geom(block, rows2, G)
+        nbp = B2p * G
+        tm2 = self._window_tm(data, n, B2p, T2_pad, r2, lead=1)
+        w2 = self._slot_windows(B2p)
+        bosr2 = 1 - w2 * block
+        eosr2 = (n + 1) - w2 * block
+        ve = jnp.pad(ventry, ((0, nbp - nb), (0, s_tile - S)))
+        v02 = jnp.transpose(
+            ve.reshape(B2p, G * s_tile), (1, 0)
+        ).astype(DTYPE)
+        g2 = (
+            jnp.ones((G, B2p), DTYPE)
+            if seeded
+            else (w2 == 0).astype(DTYPE)
+        )
+        flags = self.scanner._flags_v0_call_b(
+            tm2, v02, g2, bosr2, eosr2, seeded,
+            T2_pad, B2p, B_blk2, T_chunk2, r2, G,
+        )
+        out = (
+            flags[:block]
+            .transpose(2, 1, 0)
+            .reshape(nbp, block)[:nb]
+            .reshape(-1)[:T]
+        )
+        return self._tail(out, n, mode)
+
+    # -- dispatch ----------------------------------------------------------
+    def _run(self, text, seeded: bool, mode: str):
+        n = (
+            len(text)
+            if isinstance(text, (bytes, bytearray))
+            else int(text.shape[0])
+        )
         data = (
             jnp.asarray(np.frombuffer(text, np.uint8))
             if isinstance(text, (bytes, bytearray))
             else jnp.asarray(text)
         )
-        v0_1, g1, g2 = self._host_gates(nb, seeded)
-        return self._reduce_impl(data, v0_1, g1, g2, n=n, seeded=seeded, mode=mode)
+        if seeded and self.overlap is not None:
+            return self._ov_impl(data, n=n, mode=mode)
+        nb = -(-(n + 2) // self.block)
+        v0_1, g1 = self._p1_layout(nb, seeded)
+        return self._sum_impl(data, v0_1, g1, n=n, seeded=seeded, mode=mode)
+
+    # -- public API ---------------------------------------------------------
+    def flags(self, text, *, seeded: bool = True):
+        """[T = len+2] accept flags per global stream step (device int8).
+        ``text`` may be bytes or a device-resident uint8 array (preferred
+        for repeated scans: host->device transfer dominates otherwise)."""
+        return self._run(text, seeded, "flags")
 
     def ends_bitmap(self, text) -> np.ndarray:
         """[len+1] bool, pulled to host (O(n) transfer; prefer the scalar
@@ -482,18 +576,18 @@ class FastLongScanner:
         n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
         if self.prog.nullable:
             return n + 1
-        return int(self._reduce(text, True, "count"))
+        return int(self._run(text, True, "count"))
 
     def search(self, text) -> bool:
         if self.prog.nullable:
             return True
-        return bool(self._reduce(text, True, "any"))
+        return bool(self._run(text, True, "any"))
 
     def fullmatch(self, text) -> bool:
         n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
         if n == 0:
             return self.prog.nullable
-        return bool(self._reduce(text, False, "full"))
+        return bool(self._run(text, False, "full"))
 
 
 def make_long_scanner(prog: DeviceProgram, block: int = 16384):

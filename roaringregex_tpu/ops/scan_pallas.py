@@ -2499,10 +2499,55 @@ _add_sparse_byte_path(SparseScanner)
 # ---------------------------------------------------------------------------
 
 
-def _carry_kernel(
+def _bits_from_bytes_g(d, tg, bosr, eosr, spec, *, s_tile: int, Q: int, B: int,
+                       dtype=None):
+    """[Q, B] raw bytes at scalar stream step ``tg`` with per-column GLOBAL
+    stream geometry -> [Q * s_tile, B] mask bits. Unlike _bits_from_bytes
+    (record-local steps: tg == 0 is always BOS), each column carries its own
+    window into one long global stream:
+
+      ``bosr[q, b]``: first byte step of the window (BOS fires exactly at
+      step bosr - 1; steps before that are dead — a window starting
+      mid-stream never sees a BOS, so ^-anchors cannot fire at block
+      boundaries);
+      ``eosr[q, b]``: the EOS step (text length in window-local steps);
+      steps past it are dead.
+    """
+    runs, bos, eos = spec
+    Wt = max(1, s_tile // 32)
+    bits_n = min(32, s_tile)
+    dd = d.astype(jnp.int32)
+    hits = [(dd >= lo) & (dd <= hi) for (lo, hi, _) in runs]
+    parts = []
+    for wt in range(Wt):
+        mw = jnp.zeros((Q, B), jnp.uint32)
+        for h, (_, _, words) in zip(hits, runs):
+            if words[wt]:
+                mw = jnp.where(h, mw | jnp.uint32(words[wt]), mw)
+        mw = jnp.where(
+            tg < eosr, mw,
+            jnp.where(tg == eosr, jnp.uint32(eos[wt]), jnp.uint32(0)),
+        )
+        mw = jnp.where(
+            tg < bosr,
+            jnp.where(tg == bosr - 1, jnp.uint32(bos[wt]), jnp.uint32(0)),
+            mw,
+        )
+        shifts = jax.lax.broadcasted_iota(jnp.uint32, (Q, bits_n, B), 1)
+        parts.append((mw[:, None, :] >> shifts) & jnp.uint32(1))
+    x = parts[0] if Wt == 1 else jnp.concatenate(parts, axis=1)
+    if dtype is not None:
+        return x.astype(jnp.int32).astype(dtype).reshape(Q * s_tile, B)
+    return (x > 0).reshape(Q * s_tile, B)
+
+
+def _carry_kernel_lb(
     v0_ref,  # [lanes, B] bf16 initial states
-    gate_ref,  # [G, B] bf16: rows receiving seed injections
-    stream_ref,  # [T_chunk, W, B] uint32
+    gate_ref,  # [G, B] bf16: slots receiving seed injections
+    bos_ref,  # [Q, B] int32 window geometry (see _bits_from_bytes_g)
+    eos_ref,  # [Q, B] int32
+    data_ref,  # [T_chunk // r, r * Q, B] uint8: Q byte rows per step, each
+    #            broadcast to G // Q contiguous slots
     ft_ref,
     seed_ref,  # [lanes, 1]
     vout_ref,  # [lanes, B] bf16 final states
@@ -2510,47 +2555,71 @@ def _carry_kernel(
     *,
     seeded: bool,
     T_chunk: int,
+    r: int,
     lanes: int,
     s_tile: int,
+    spec,
+    dks=None,
 ):
+    """Long-string carry pass, counts-chain form with in-kernel byte->mask
+    encoding (no HBM mask stream). Seed injection is folded into the chain
+    as a per-column constant c0g = F^T @ (gates * seed), computed once per
+    grid cell — off the dependent chain, like _match_kernel_b's c0."""
     j = pl.program_id(1)
     nT = pl.num_programs(1)
     B = v_s.shape[1]
-    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    Q = bos_ref.shape[0]
     G_ = gate_ref.shape[0]
+    R = G_ // Q
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
     gl = jnp.broadcast_to(
         gate_ref[:][:, None, :], (G_, s_tile, B)
     ).reshape(lanes, B)
+    c0g = _apply_ft(gl * seed_col, ft_ref, dks, B=B)
+    zero = jnp.zeros_like(c0g)
+    bosr = bos_ref[:]
+    eosr = eos_ref[:]
 
     @pl.when(j == 0)
     def _init():
         v_s[:] = v0_ref[:]
 
-    def body(t, _):
-        tg = j * T_chunk + t
+    def body(i, _):
+        slab = data_ref[i]  # [r * Q, B]
         v = v_s[:]
-        if seeded:
-            v = jnp.maximum(v, gl * seed_col)
-        else:
-            v = jnp.where(tg < 2, jnp.maximum(v, gl * seed_col), v)
-        y = jnp.dot(
-            ft_ref[:], v, preferred_element_type=jnp.float32
-        ).astype(jnp.float32)
-        bits = _unpack_bits(stream_ref[t], lanes, B)
-        v_s[:] = ((y > 0) & bits).astype(DTYPE)
+        for m in range(r):
+            d = slab[m * Q : (m + 1) * Q]
+            tg = j * T_chunk + i * r + m
+            y = _apply_ft(v, ft_ref, dks, B=B)
+            if seeded:
+                y = y + c0g
+            else:
+                y = y + jnp.where(tg < 2, c0g, zero)
+            b16 = _bits_from_bytes_g(
+                d, tg, bosr, eosr, spec, s_tile=s_tile, Q=Q, B=B, dtype=DTYPE
+            )
+            if R > 1:
+                b16 = jnp.broadcast_to(
+                    b16.reshape(Q, 1, s_tile, B), (Q, R, s_tile, B)
+                ).reshape(lanes, B)
+            v = y * b16
+        # renorm: counts -> booleans once per slab (bf16-range safety)
+        v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
 
-    jax.lax.fori_loop(0, T_chunk, body, 0)
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
 
     @pl.when(j == nT - 1)
     def _out():
         vout_ref[:] = v_s[:]
 
 
-def _flags_v0_kernel(
+def _flags_v0_kernel_lb(
     v0_ref,  # [lanes, B]
     gate_ref,  # [G, B]
-    stream_ref,
+    bos_ref,  # [Q, B] int32
+    eos_ref,  # [Q, B] int32
+    data_ref,  # [T_chunk // r, r * Q, B] uint8
     ft_ref,
     at_ref,  # [G, lanes]
     seed_ref,
@@ -2559,122 +2628,162 @@ def _flags_v0_kernel(
     *,
     seeded: bool,
     T_chunk: int,
+    r: int,
     lanes: int,
     s_tile: int,
+    spec,
+    dks=None,
 ):
+    """Custom-v0 forward scan emitting per-step accept flags; byte-fused
+    counts-chain twin of _carry_kernel_lb."""
     j = pl.program_id(1)
     B = v_s.shape[1]
-    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    Q = bos_ref.shape[0]
     G_ = gate_ref.shape[0]
+    R = G_ // Q
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
     gl = jnp.broadcast_to(
         gate_ref[:][:, None, :], (G_, s_tile, B)
     ).reshape(lanes, B)
+    c0g = _apply_ft(gl * seed_col, ft_ref, dks, B=B)
+    zero = jnp.zeros_like(c0g)
+    bosr = bos_ref[:]
+    eosr = eos_ref[:]
 
     @pl.when(j == 0)
     def _init():
         v_s[:] = v0_ref[:]
 
-    def body(t, _):
-        tg = j * T_chunk + t
+    def body(i, _):
+        slab = data_ref[i]
         v = v_s[:]
-        if seeded:
-            v = jnp.maximum(v, gl * seed_col)
-        else:
-            v = jnp.where(tg < 2, jnp.maximum(v, gl * seed_col), v)
-        y = jnp.dot(
-            ft_ref[:], v, preferred_element_type=jnp.float32
-        ).astype(jnp.float32)
-        bits = _unpack_bits(stream_ref[t], lanes, B)
-        v2 = ((y > 0) & bits).astype(DTYPE)
-        v_s[:] = v2
-        fl = (
-            jnp.dot(at_ref[:], v2, preferred_element_type=jnp.float32).astype(
-                jnp.float32
+        for m in range(r):
+            d = slab[m * Q : (m + 1) * Q]
+            tg = j * T_chunk + i * r + m
+            y = _apply_ft(v, ft_ref, dks, B=B)
+            if seeded:
+                y = y + c0g
+            else:
+                y = y + jnp.where(tg < 2, c0g, zero)
+            b16 = _bits_from_bytes_g(
+                d, tg, bosr, eosr, spec, s_tile=s_tile, Q=Q, B=B, dtype=DTYPE
             )
-            > 0
-        )
-        flags_out[t] = fl.astype(jnp.int8)
+            if R > 1:
+                b16 = jnp.broadcast_to(
+                    b16.reshape(Q, 1, s_tile, B), (Q, R, s_tile, B)
+                ).reshape(lanes, B)
+            v = y * b16
+            fl = (
+                jnp.dot(
+                    at_ref[:], v, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            flags_out[i * r + m] = fl.astype(jnp.int8)
+        v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
 
-    jax.lax.fori_loop(0, T_chunk, body, 0)
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
 
 
 def _add_longstring_calls(cls):
-    """Attach the custom-v0 entry points used by the long-string mode."""
+    """Attach the custom-v0, global-offset entry points used by the
+    long-string mode (ops/longstring.py FastLongScanner)."""
 
     @functools.partial(
         jax.jit,
-        static_argnames=("self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk"),
+        static_argnames=(
+            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk", "r", "Q"
+        ),
     )
-    def _carry_call(self, stream, v0, gates, seeded, T_pad, B_pad, B_blk, T_chunk):
-        G, lanes, W = self.G, self.lanes, self.W
+    def _carry_call_b(
+        self, data_tm, v0, gates, bosr, eosr, seeded,
+        T_pad, B_pad, B_blk, T_chunk, r, Q,
+    ):
+        G, lanes = self.Gp, self.lanes
         nB, nT = B_pad // B_blk, T_pad // T_chunk
         kernel = functools.partial(
-            _carry_kernel,
+            _carry_kernel_lb,
             seeded=seeded,
             T_chunk=T_chunk,
+            r=r,
             lanes=lanes,
             s_tile=self.prog.s_tile,
+            spec=self.spec,
+            dks=self.diag_ks,
         )
+        fttab = self.ftd if self.diag_ks else self.ft
         lspec = pl.BlockSpec((lanes, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        qspec = pl.BlockSpec((Q, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * Q, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
         return pl.pallas_call(
             kernel,
             grid=(nB, nT),
             in_specs=[
-                lspec,
-                gspec,
-                pl.BlockSpec(
-                    (T_chunk, W, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((lanes, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((lanes, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                lspec, gspec, qspec, qspec, dspec,
+                _full_spec(tuple(fttab.shape)),
+                _full_spec((lanes, 1)),
             ],
             out_specs=lspec,
             out_shape=jax.ShapeDtypeStruct((lanes, B_pad), DTYPE),
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
             interpret=_interpret(),
-        )(v0, gates, stream, self.ft, self.seed)
+        )(v0, gates, bosr, eosr, data_tm, fttab, self.seed)
 
     @functools.partial(
         jax.jit,
-        static_argnames=("self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk"),
+        static_argnames=(
+            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk", "r", "Q"
+        ),
     )
-    def _flags_v0_call(self, stream, v0, gates, seeded, T_pad, B_pad, B_blk, T_chunk):
-        G, lanes, W = self.G, self.lanes, self.W
+    def _flags_v0_call_b(
+        self, data_tm, v0, gates, bosr, eosr, seeded,
+        T_pad, B_pad, B_blk, T_chunk, r, Q,
+    ):
+        G, lanes = self.Gp, self.lanes
         nB, nT = B_pad // B_blk, T_pad // T_chunk
         kernel = functools.partial(
-            _flags_v0_kernel,
+            _flags_v0_kernel_lb,
             seeded=seeded,
             T_chunk=T_chunk,
+            r=r,
             lanes=lanes,
             s_tile=self.prog.s_tile,
+            spec=self.spec,
+            dks=self.diag_ks,
         )
+        fttab = self.ftd if self.diag_ks else self.ft
         lspec = pl.BlockSpec((lanes, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        qspec = pl.BlockSpec((Q, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * Q, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
         return pl.pallas_call(
             kernel,
             grid=(nB, nT),
             in_specs=[
-                lspec,
-                gspec,
-                pl.BlockSpec(
-                    (T_chunk, W, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec((lanes, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((G, lanes), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((lanes, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                lspec, gspec, qspec, qspec, dspec,
+                _full_spec(tuple(fttab.shape)),
+                _full_spec((G, lanes)),
+                _full_spec((lanes, 1)),
             ],
             out_specs=pl.BlockSpec(
-                (T_chunk, G, B_blk), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                (T_chunk, G, B_blk), lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((T_pad, G, B_pad), jnp.int8),
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
             interpret=_interpret(),
-        )(v0, gates, stream, self.ft, self.at, self.seed)
+        )(v0, gates, bosr, eosr, data_tm, fttab, self.at, self.seed)
 
-    cls._carry_call = _carry_call
-    cls._flags_v0_call = _flags_v0_call
+    cls._carry_call_b = _carry_call_b
+    cls._flags_v0_call_b = _flags_v0_call_b
 
 
 _add_longstring_calls(PallasScanner)

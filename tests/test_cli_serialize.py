@@ -189,3 +189,14 @@ def test_cli_host_backend():
     assert code == 2 and "invalid pattern" in err
     code, _, err = _run_cli(["--backend", "host", "-o", "err"], LINES)
     assert code == 2
+
+
+def test_cli_long_mode(tmp_path):
+    """--long scans each file as ONE string through both long-scanner
+    modes (overlapped windows / summary+replay)."""
+    f = tmp_path / "blob.txt"
+    f.write_bytes(b"x" * 500 + b"cat" + b"y" * 500 + b"dog" + b"z" * 100)
+    code, out, _ = _run_cli(["--long", "-c", "cat|dog", str(f)], b"")
+    assert code == 0 and out.strip() == "2"
+    code, out, _ = _run_cli(["--long", "-c", "(ab)*c+d", str(f)], b"")
+    assert code == 1 and out.strip() == "0"

@@ -93,3 +93,62 @@ def test_pattern_long_api():
     assert p.long.count_ends(blob) == 2
     assert p.long.search(blob) and not p.long.fullmatch(blob)
     assert p.long.fullmatch(b"cat")
+
+
+def test_fast_long_mode_selection():
+    """Bounded-horizon patterns take the overlapped window fast path;
+    cyclic patterns fall back to summary+replay; tiny blocks force
+    summary mode when the horizon exceeds the overlap budget."""
+    from roaringregex_tpu.ops.longstring import FastLongScanner
+
+    ov = FastLongScanner(compile_program("cat|dog"), block=16384)
+    assert ov.overlap is not None and ov.prog.horizon == 3
+    cyc = FastLongScanner(compile_program("(ab)*c+d?"), block=16384)
+    assert cyc.overlap is None and cyc.prog.horizon is None
+    # horizon 20 > 128 // 8: summary mode despite being acyclic
+    big = FastLongScanner(compile_program("a{1,20}"), block=128)
+    assert big.prog.horizon == 20 and big.overlap is None
+
+
+def test_fast_long_q_packing():
+    """Pass 1 packs Q = G // 2^ceil(log2(P1)) blocks per column."""
+    from roaringregex_tpu.ops.longstring import FastLongScanner
+
+    sc = FastLongScanner(compile_program("(cat|dog)*"), block=128)
+    assert sc.G == 16 and sc.P1 == 8 and sc.Q1 == 2
+    oracle = OracleEngine(sc.prog.nfa)
+    t = b"catdog" * 100 + b"x" + b"cat" * 30
+    assert set(np.nonzero(sc.ends_bitmap(t))[0].tolist()) == oracle.ends(t)
+
+
+def test_fast_long_rows_pb_gt_1():
+    """P1 > G: one block's basis spans several columns (rows_pb > 1)."""
+    from roaringregex_tpu.ops.longstring import FastLongScanner
+
+    pattern = "(abcdefghijklmnopqrst)*x"
+    prog = compile_program(pattern)
+    sc = FastLongScanner(prog, block=128)
+    assert sc.rows_pb > 1, (sc.S, sc.G, sc.rows_pb)
+    oracle = OracleEngine(prog.nfa)
+    texts = [b"abcdefghijklmnopqrst" * 20 + b"x",
+             b"abcdefghijklmnopqrst" * 7,
+             b"x" + b"abcdefghijklmnopqrst" * 13 + b"x"]
+    for t in texts:
+        got = set(np.nonzero(sc.ends_bitmap(t))[0].tolist())
+        assert got == oracle.ends(t), len(t)
+        assert sc.fullmatch(t) == oracle.fullmatch(t), len(t)
+
+
+def test_fast_long_anchors_at_window_boundaries():
+    """^ must not fire at interior window starts and $ only at the true
+    EOS — the overlapped windows carry global stream offsets."""
+    from roaringregex_tpu.ops.longstring import FastLongScanner
+
+    for pattern in ("^ab", "ab$", "^ab.*cd$"):
+        prog = compile_program(pattern)
+        sc = FastLongScanner(prog, block=128)
+        oracle = OracleEngine(prog.nfa)
+        for t in (b"ab" + b"xy" * 300, b"xy" * 300 + b"ab",
+                  b"ab" + b"q" * 507 + b"cd"):
+            got = set(np.nonzero(sc.ends_bitmap(t))[0].tolist())
+            assert got == oracle.ends(t), (pattern, len(t))

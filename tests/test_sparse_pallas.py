@@ -35,10 +35,28 @@ def test_sparse_pallas_parity(pattern):
     assert p.finditer_batch([t])[0] == orc.findall(t), pattern
 
 
-def test_sparse_cap_falls_back_to_xla():
-    """A structure denser than the VMEM cap falls back to XLA, correctly."""
-    p = Pattern("(a|b|c){1040,1100}", backend="pallas")
+def test_sparse_cap_falls_back_to_xla(caplog):
+    """A structure denser than the VMEM cap falls back to XLA, correctly —
+    and loudly (engine logs a warning naming the caps)."""
+    import logging
+
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    base = get_config()
+    try:
+        set_config(base.with_(sparse_partial_max=8))
+        with caplog.at_level(
+            logging.WARNING, logger="roaringregex_tpu.engine"
+        ):
+            p = Pattern("(a|b|c){1040,1100}", backend="pallas")
+    finally:
+        set_config(base)
     assert p.tier == "sparse"
+    assert p.engine.backend == "xla"
+    assert any(
+        "sparse" in r.getMessage() and "falling back" in r.getMessage()
+        for r in caplog.records
+    ), [r.getMessage() for r in caplog.records]
     orc = OracleEngine(p.program.nfa)
     ts = ["a" * 1039, "abc" * 350, "ab" * 520]
     fm = p.fullmatch_batch(ts)
