@@ -392,6 +392,13 @@ class FastLongScanner:
         eosr = (n + o + 1) - w * block
         v0 = jnp.zeros((lanes, B_pad), DTYPE)
         gates = jnp.ones((G, B_pad), DTYPE)
+        if mode in ("count", "any"):
+            # fused window reduction: no [T, G, B] flag stream in HBM
+            cnt, tail = self.scanner._count_v0_call_b(
+                tm, v0, gates, bosr, eosr, True,
+                T_pad, B_pad, B_blk, T_chunk, r, G, o, o + block,
+            )
+            return self._merge_counts(cnt, tail, mode)
         flags = self.scanner._flags_v0_call_b(
             tm, v0, gates, bosr, eosr, True,
             T_pad, B_pad, B_blk, T_chunk, r, G,
@@ -403,6 +410,18 @@ class FastLongScanner:
             .reshape(-1)[:T]
         )
         return self._tail(out, n, mode)
+
+    @staticmethod
+    def _merge_counts(cnt, tail, mode: str):
+        """(body counts, EOS-side hits) per window -> global scalar (the
+        same body+tail split as _tail; padded windows contribute zero)."""
+        tail_any = jnp.any(tail > 0)
+        if mode == "full":  # accept at the EOS-side steps is the answer
+            return tail_any
+        body = jnp.sum(cnt)
+        if mode == "count":
+            return body + tail_any.astype(jnp.int32)
+        return (body > 0) | tail_any  # any
 
     # -- summary + replay (cyclic patterns / unseeded scans) --------------
     def _p1_layout(self, nb: int, seeded: bool):
@@ -523,6 +542,12 @@ class FastLongScanner:
             if seeded
             else (w2 == 0).astype(DTYPE)
         )
+        if mode in ("count", "any", "full"):
+            cnt, tail = self.scanner._count_v0_call_b(
+                tm2, v02, g2, bosr2, eosr2, seeded,
+                T2_pad, B2p, B_blk2, T_chunk2, r2, G, 0, block,
+            )
+            return self._merge_counts(cnt, tail, mode)
         flags = self.scanner._flags_v0_call_b(
             tm2, v02, g2, bosr2, eosr2, seeded,
             T2_pad, B2p, B_blk2, T_chunk2, r2, G,

@@ -2686,6 +2686,106 @@ def _flags_v0_kernel_lb(
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
 
 
+def _count_v0_kernel_lb(
+    v0_ref,  # [lanes, B]
+    gate_ref,  # [G, B]
+    bos_ref,  # [Q, B] int32
+    eos_ref,  # [Q, B] int32
+    data_ref,  # [T_chunk // r, r * Q, B] uint8
+    ft_ref,
+    at_ref,  # [G, lanes]
+    seed_ref,
+    cnt_out,  # [G, B] int32: accept steps with global byte index < n
+    tail_out,  # [G, B] int32: any accept at the EOS-side steps (n, n+1)
+    v_s,
+    cnt_s,
+    tail_s,
+    *,
+    seeded: bool,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+    out_lo: int,
+    out_hi: int,
+    dks=None,
+):
+    """Window-reduced twin of _flags_v0_kernel_lb: instead of writing the
+    [T, G, B] flag stream to HBM (1 byte out per byte in), accumulate the
+    scalar statistics in VMEM. Each window owns the output step range
+    [out_lo, out_hi) (windows tile the global stream exactly, so every
+    global step is counted by exactly one window); body steps are those
+    with global byte index < n (i.e. t < eosr - 1), EOS-side accepts
+    (global n / n+1) are OR-accumulated separately and merged host-side —
+    the same (body, tail) split as FastLongScanner._tail."""
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    B = v_s.shape[1]
+    Q = bos_ref.shape[0]
+    G_ = gate_ref.shape[0]
+    R = G_ // Q
+    seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
+    gl = jnp.broadcast_to(
+        gate_ref[:][:, None, :], (G_, s_tile, B)
+    ).reshape(lanes, B)
+    c0g = _apply_ft(gl * seed_col, ft_ref, dks, B=B)
+    zero = jnp.zeros_like(c0g)
+    bosr = bos_ref[:]
+    eosr = eos_ref[:]
+    eosl = jnp.broadcast_to(
+        eosr[:, None, :], (Q, R, B)
+    ).reshape(G_, B)
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = v0_ref[:]
+        cnt_s[:] = jnp.zeros((G_, B), jnp.int32)
+        tail_s[:] = jnp.zeros((G_, B), jnp.int32)
+
+    def body(i, _):
+        slab = data_ref[i]
+        v = v_s[:]
+        for m in range(r):
+            d = slab[m * Q : (m + 1) * Q]
+            tg = j * T_chunk + i * r + m
+            y = _apply_ft(v, ft_ref, dks, B=B)
+            if seeded:
+                y = y + c0g
+            else:
+                y = y + jnp.where(tg < 2, c0g, zero)
+            b16 = _bits_from_bytes_g(
+                d, tg, bosr, eosr, spec, s_tile=s_tile, Q=Q, B=B, dtype=DTYPE
+            )
+            if R > 1:
+                b16 = jnp.broadcast_to(
+                    b16.reshape(Q, 1, s_tile, B), (Q, R, s_tile, B)
+                ).reshape(lanes, B)
+            v = y * b16
+            fl = (
+                jnp.dot(
+                    at_ref[:], v, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            win = (tg >= out_lo) & (tg < out_hi)
+            cnt_s[:] = cnt_s[:] + (
+                fl & win & (tg < eosl - 1)
+            ).astype(jnp.int32)
+            tail_s[:] = tail_s[:] | (
+                fl & win & ((tg == eosl - 1) | (tg == eosl))
+            ).astype(jnp.int32)
+        v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        cnt_out[:] = cnt_s[:]
+        tail_out[:] = tail_s[:]
+
+
 def _add_longstring_calls(cls):
     """Attach the custom-v0, global-offset entry points used by the
     long-string mode (ops/longstring.py FastLongScanner)."""
@@ -2782,8 +2882,63 @@ def _add_longstring_calls(cls):
             interpret=_interpret(),
         )(v0, gates, bosr, eosr, data_tm, fttab, self.at, self.seed)
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk", "r", "Q",
+            "out_lo", "out_hi",
+        ),
+    )
+    def _count_v0_call_b(
+        self, data_tm, v0, gates, bosr, eosr, seeded,
+        T_pad, B_pad, B_blk, T_chunk, r, Q, out_lo, out_hi,
+    ):
+        G, lanes = self.Gp, self.lanes
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _count_v0_kernel_lb,
+            seeded=seeded,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+            out_lo=out_lo,
+            out_hi=out_hi,
+            dks=self.diag_ks,
+        )
+        fttab = self.ftd if self.diag_ks else self.ft
+        lspec = pl.BlockSpec((lanes, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        qspec = pl.BlockSpec((Q, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * Q, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                lspec, gspec, qspec, qspec, dspec,
+                _full_spec(tuple(fttab.shape)),
+                _full_spec((G, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=(gspec, gspec),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((G, B_pad), jnp.int32) for _ in range(2)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, B_blk), DTYPE),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(v0, gates, bosr, eosr, data_tm, fttab, self.at, self.seed)
+
     cls._carry_call_b = _carry_call_b
     cls._flags_v0_call_b = _flags_v0_call_b
+    cls._count_v0_call_b = _count_v0_call_b
 
 
 _add_longstring_calls(PallasScanner)
