@@ -293,6 +293,83 @@ class Pattern:
             )
         return self._long
 
+    def finditer_long(
+        self, text: TextLike, *, longest: bool = False, chunk: int = 4096
+    ) -> List[Tuple[int, int]]:
+        """Non-overlapping spans over ONE long string, same policies as
+        finditer_batch (lazy leftmost-shortest / greedy leftmost-longest).
+
+        Bounded-horizon (acyclic) patterns only: every match fits in
+        ``horizon`` bytes, so candidate starts come from one overlapped
+        reverse pass (FastLongScanner.starts_bitmap) and match ends from
+        batched anchored rescans over tiny per-candidate slices — the
+        sequential non-overlap sweep runs host-side over candidates, not
+        bytes. Cyclic patterns raise ValueError (count/search still work
+        in summary mode).
+        """
+        data = _as_bytes(text)
+        n = len(data)
+        lam = self.program.horizon
+        sc = self.long
+        if lam is None or getattr(sc, "overlap", None) is None:
+            raise ValueError(
+                "finditer_long needs a bounded-horizon (acyclic) pattern; "
+                f"{self.pattern!r} has unbounded match length — use "
+                "pat.long.count_ends / search, or split the input into "
+                "records"
+            )
+        nullable = self.program.nullable
+        if nullable and not longest:
+            # lazy spans of a nullable pattern: the empty match everywhere
+            return [(p, p) for p in range(n + 1)]
+        cand = np.nonzero(sc.starts_bitmap(data))[0]
+        if cand.size == 0:
+            return []
+        arr = np.frombuffer(data, np.uint8)
+        G = self.program.G
+        L_rec = lam + 2  # 1 byte of left context + a <= lam-byte match
+        spans: List[Tuple[int, int]] = []
+        cursor = 0
+        for c0 in range(0, cand.size, chunk):
+            cc = cand[c0 : c0 + chunk]
+            if cc[-1] < cursor:
+                continue  # whole chunk already claimed by a prior match
+            # slices with one byte of left context so interior windows
+            # never expose a fake BOS (^ must not fire mid-string)
+            g0 = np.maximum(cc.astype(np.int64) - 1, 0)
+            idx = g0[:, None] + np.arange(L_rec)[None, :]
+            sl = np.where(idx < n, arr[np.minimum(idx, n - 1)], 0).astype(
+                np.uint8
+            )
+            lens = np.minimum(L_rec, n - g0).astype(np.int32)
+            starts_loc = (cc - g0).astype(np.int32)
+            K = len(cc)
+            Kp = -(-K // G) * G
+            if Kp != K:
+                sl = np.pad(sl, ((0, Kp - K), (0, 0)))
+                lens = np.pad(lens, (0, Kp - K))
+                starts_loc = np.pad(
+                    starts_loc, (0, Kp - K), constant_values=-1
+                )
+            e_loc = np.asarray(
+                self.engine.first_end_from(
+                    sl, lens, starts_loc, longest=longest
+                )
+            )[:K]
+            ends = np.where(e_loc >= 0, g0 + e_loc, -1)
+            if nullable:  # greedy nullable: empty match is the fallback
+                ends = np.maximum(ends, cc)
+            for s, e in zip(cc.tolist(), ends.tolist()):
+                if s < cursor or e < 0:
+                    continue
+                spans.append((s, e))
+                cursor = e if e > s else s + 1
+                if cursor > n:
+                    break
+            if cursor > n:
+                break
+        return spans
+
     def finditer(
         self, text: TextLike, *, longest: bool = False
     ) -> Iterator[Match]:

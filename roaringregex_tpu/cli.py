@@ -78,6 +78,10 @@ def main(argv=None) -> int:
     ap.add_argument("-v", "--invert-match", action="store_true")
     ap.add_argument("--fullmatch", action="store_true")
     ap.add_argument(
+        "--greedy", action="store_true",
+        help="-o spans use the greedy (POSIX leftmost-longest) policy",
+    )
+    ap.add_argument(
         "--long", action="store_true",
         help="scan each FILE as ONE string (block-parallel long-string mode)",
     )
@@ -206,6 +210,16 @@ def main(argv=None) -> int:
         for src, buf in _read_buffers(args.files):
             nsrc += 1
             n_bytes += len(buf)
+            if args.only_spans:
+                try:
+                    spans = pat.finditer_long(buf, longest=args.greedy)
+                except ValueError as e:
+                    print(f"rrx: {e}", file=sys.stderr)
+                    return 2
+                n_match += len(spans)
+                if not args.count:
+                    print(f"{src}: " + " ".join(f"{s}-{e}" for s, e in spans))
+                continue
             cnt = pat.long.count_ends(buf)
             n_match += cnt
             if not args.count:
@@ -248,7 +262,9 @@ def main(argv=None) -> int:
         span_rows = None
         if args.only_spans and not args.invert_match:
             sel = [bytes(data[int(i), : lengths[int(i)]]) for i in idxs]
-            span_rows = pat.finditer_batch(sel) if sel else []
+            span_rows = (
+                pat.finditer_batch(sel, longest=args.greedy) if sel else []
+            )
         for k, i in enumerate(idxs):
             prefix = f"{src}:" if many_files else ""
             if args.line_number:

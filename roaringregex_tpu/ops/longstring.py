@@ -585,6 +585,54 @@ class FastLongScanner:
         for repeated scans: host->device transfer dominates otherwise)."""
         return self._run(text, seeded, "flags")
 
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _rev_impl(self, data, *, n: int):
+        """[T] start hits per global stream step: overlapped-window reverse
+        scan (suffix overlap — reverse influence dies within ``horizon``)."""
+        G, block, o = self.G, self.block, self.overlap
+        T = n + 2
+        nb = -(-T // block)
+        rows = -(-nb // G)
+        T_pad, B_pad, B_blk, T_chunk, r = self._geom(block + o, rows, G)
+        tm = self._window_tm(data, n, B_pad, T_pad, r, lead=1)
+        w = self._slot_windows(B_pad)
+        bosr = 1 - w * block
+        eosr = (n + 1) - w * block
+        hits = self.scanner._rev_call_b(
+            tm, bosr, eosr, T_pad, B_pad, B_blk, T_chunk, r
+        )  # [T_pad, G, B_pad]
+        return (
+            hits[:block]
+            .transpose(2, 1, 0)
+            .reshape(B_pad * G, block)[:nb]
+            .reshape(-1)[:T]
+        )
+
+    def starts_bitmap(self, text) -> np.ndarray:
+        """[len+1] bool: some match starts at position s. Bounded-horizon
+        patterns only (the overlapped reverse scan needs a finite suffix
+        horizon); cyclic patterns raise ValueError — count/search/fullmatch
+        still work there via summary mode."""
+        if self.overlap is None:
+            raise ValueError(
+                "long-string start/span extraction needs a bounded-horizon "
+                f"(acyclic) pattern; {self.prog.pattern!r} has unbounded "
+                "match length"
+            )
+        n = len(text) if isinstance(text, (bytes, bytearray)) else text.shape[0]
+        data = (
+            jnp.asarray(np.frombuffer(text, np.uint8))
+            if isinstance(text, (bytes, bytearray))
+            else jnp.asarray(text)
+        )
+        hits = np.asarray(self._rev_impl(data, n=n))
+        s = np.clip(np.arange(n + 2) - 1, 0, n)
+        out = np.zeros(n + 1, bool)
+        np.maximum.at(out, s, hits[: n + 2] > 0)
+        if self.prog.nullable:
+            out[:] = True
+        return out
+
     def ends_bitmap(self, text) -> np.ndarray:
         """[len+1] bool, pulled to host (O(n) transfer; prefer the scalar
         entry points for repeated large-scale scans)."""

@@ -2686,6 +2686,68 @@ def _flags_v0_kernel_lb(
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
 
 
+def _reverse_kernel_lb(
+    bos_ref,  # [G, B] int32 window geometry (see _bits_from_bytes_g)
+    eos_ref,  # [G, B] int32
+    data_ref,  # [T_chunk // r, r * G, B] uint8 (chunk nT-1-j of the window)
+    f_ref,  # [lanes, lanes] bf16 (F_bd, untransposed)
+    sg_ref,  # [G, lanes] bf16
+    acc_ref,  # [lanes, 1] bf16
+    hits_out,  # [T_chunk, G, B] int8
+    r_s,
+    *,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+):
+    """Overlapped-window reverse scan (start hits) with global stream
+    offsets: counts-chain twin of _reverse_kernel_b, but each window
+    carries its own view into one long stream. Windows start from the
+    zero reverse state; the o-step suffix overlap makes hits in the
+    output region exact for bounded-horizon patterns (the reverse
+    influence of anything past the window dies within ``horizon`` steps,
+    ops/longstring.py)."""
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    G = bos_ref.shape[0]
+    B = r_s.shape[1]
+    acc_col = jnp.broadcast_to(acc_ref[:], (lanes, B)).astype(DTYPE)
+    bosr = bos_ref[:]
+    eosr = eos_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        r_s[:] = jnp.zeros((lanes, B), DTYPE)
+
+    def body(i, _):
+        iq = T_chunk // r - 1 - i
+        slab = data_ref[iq]
+        R = r_s[:]
+        for m in reversed(range(r)):
+            d = slab[m * G : (m + 1) * G]
+            tg = (nT - 1 - j) * T_chunk + iq * r + m
+            b16 = _bits_from_bytes_g(
+                d, tg, bosr, eosr, spec, s_tile=s_tile, Q=G, B=B, dtype=DTYPE
+            )
+            masked = (R + acc_col) * b16
+            R = jnp.dot(
+                f_ref[:], masked, preferred_element_type=jnp.float32
+            ).astype(DTYPE)
+            hit = (
+                jnp.dot(
+                    sg_ref[:], R, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            hits_out[iq * r + m] = hit.astype(jnp.int8)
+        r_s[:] = (R.astype(jnp.float32) > 0).astype(DTYPE)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+
 def _count_v0_kernel_lb(
     v0_ref,  # [lanes, B]
     gate_ref,  # [G, B]
@@ -2936,9 +2998,56 @@ def _add_longstring_calls(cls):
             interpret=_interpret(),
         )(v0, gates, bosr, eosr, data_tm, fttab, self.at, self.seed)
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _rev_call_b(
+        self, data_tm, bosr, eosr, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        G, lanes = self.Gp, self.lanes
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _reverse_kernel_lb,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                gspec,
+                dspec,
+                _full_spec((lanes, lanes)),
+                _full_spec((G, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, G, B_blk),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, G, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(bosr, eosr, data_tm, self.f, self.sg, self.acc)
+
     cls._carry_call_b = _carry_call_b
     cls._flags_v0_call_b = _flags_v0_call_b
     cls._count_v0_call_b = _count_v0_call_b
+    cls._rev_call_b = _rev_call_b
 
 
 _add_longstring_calls(PallasScanner)

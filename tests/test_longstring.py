@@ -152,3 +152,38 @@ def test_fast_long_anchors_at_window_boundaries():
                   b"ab" + b"q" * 507 + b"cd"):
             got = set(np.nonzero(sc.ends_bitmap(t))[0].tolist())
             assert got == oracle.ends(t), (pattern, len(t))
+
+
+def test_finditer_long_matches_oracle():
+    """Span extraction over ONE long string: candidate starts from the
+    overlapped reverse pass, ends from slice-batched anchored rescans,
+    host sweep for the non-overlap policy — vs the oracle, both policies,
+    with matches planted across window boundaries."""
+    import roaringregex_tpu as rrx
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    base = get_config()
+    rng = np.random.default_rng(17)
+    body = bytearray(rng.choice(list(b"qwerty"), size=2000).astype(np.uint8))
+    body[250:253] = b"cat"  # straddles the 256-block boundary? near it
+    body[254:257] = b"dog"
+    body[1023:1026] = b"cat"  # exactly across block 3->4 at block=256
+    t = b"ab" + bytes(body) + b"ab"
+    try:
+        set_config(base.with_(long_block=256))
+        for pattern in ("cat|dog", "^ab", "ab$", "ca?t", "(cat)?", "qw{1,4}"):
+            p = rrx.Pattern(pattern)
+            orc = OracleEngine(p.program.nfa)
+            assert p.finditer_long(t) == orc.findall(t), pattern
+            assert p.finditer_long(t, longest=True) == orc.findall(
+                t, longest=True
+            ), pattern
+    finally:
+        set_config(base)
+
+
+def test_finditer_long_cyclic_raises():
+    import roaringregex_tpu as rrx
+
+    with pytest.raises(ValueError, match="bounded-horizon"):
+        rrx.Pattern("(ab)*c").finditer_long(b"ababc")
