@@ -371,3 +371,116 @@ class DistScanner:
         if self.prog.nullable:
             out[:] = True
         return int(out.sum())
+
+    # -- kernel-rate sharded long string (overlapped windows) -------------
+    def _long_fast_scanner(self):
+        """FastLongScanner for the overlapped sharded path, or None when
+        the pattern/tier doesn't support it (cyclic horizon, wide tiles)."""
+        fls = getattr(self, "_fls", None)
+        if fls is None:
+            from ..ops.longstring import FastLongScanner
+
+            prog = self.prog
+            fls = False
+            if (
+                prog.F is not None
+                and prog.s_tile <= 32
+                and prog.horizon is not None
+            ):
+                cand = FastLongScanner(prog)
+                if cand.overlap is not None:
+                    fls = cand
+            self._fls = fls
+        return fls or None
+
+    def long_stats(self, text_bytes, *, mode: str = "count"):
+        """count/any over ONE long string at kernel rate, sharded: the
+        overlapped windows (ops/longstring.py FastLongScanner) are
+        independent, so they split over the data axis with a single psum
+        of the per-shard (body, EOS-tail) statistics — the sequence-
+        parallelism axis of SURVEY.md §5 running through the byte-fused
+        Pallas kernels on every chip. Bounded-horizon dense patterns;
+        falls back to the portable summary SPMD path otherwise."""
+        assert mode in ("count", "any")
+        n = (
+            len(text_bytes)
+            if isinstance(text_bytes, (bytes, bytearray))
+            else int(text_bytes.shape[0])
+        )
+        if self.prog.nullable:
+            return n + 1 if mode == "count" else True
+        fls = self._long_fast_scanner()
+        if fls is None:
+            if mode == "count":
+                return self.long_count(text_bytes)
+            flags = self.long_flags(text_bytes, seeded=True)
+            return bool((flags[: n + 2] > 0).any())
+        data = (
+            jnp.asarray(np.frombuffer(text_bytes, np.uint8))
+            if isinstance(text_bytes, (bytes, bytearray))
+            else jnp.asarray(text_bytes)
+        )
+        rep = NamedSharding(self.mesh, P())
+        total, tail = self._long_stats_spmd(
+            jax.device_put(data, rep), n=n, fls=fls
+        )
+        if mode == "count":
+            return int(total) + int(bool(tail))
+        return bool(int(total) > 0 or bool(tail))
+
+    @functools.partial(jax.jit, static_argnames=("self", "n", "fls"))
+    def _long_stats_spmd(self, data, *, n: int, fls):
+        G, lanes, blk, o = fls.G, fls.lanes, fls.block, fls.overlap
+        D = self.mesh.devices.size
+        T = n + 2
+        nb = -(-T // blk)
+        rows_dev = -(-(-(-nb // D)) // G)
+        T_pad, B_pad, B_blk, T_chunk, r = fls._geom(blk + o, rows_dev, G)
+        npw = B_pad * G  # windows per device, padded
+        # replicated padded byte stream: window w local step t reads
+        # de[w*blk + t] (lead = o + 1, FastLongScanner._window_tm)
+        ext = D * npw * blk + T_pad
+        de = jnp.zeros(ext, jnp.uint8).at[o + 1 : o + 1 + n].set(data)
+        nseg = -(-T_pad // blk)
+        axis = self.axis
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(),),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def _go(de_rep):
+            w0 = jax.lax.axis_index(axis).astype(jnp.int32) * npw
+            seg = jax.lax.dynamic_slice(
+                de_rep, (w0 * blk,), (npw * blk + T_pad,)
+            )
+            wb = jnp.concatenate(
+                [
+                    seg[i * blk : i * blk + npw * blk].reshape(npw, blk)
+                    for i in range(nseg)
+                ],
+                axis=1,
+            )[:, :T_pad]
+            tm = (
+                wb.reshape(B_pad, G, T_pad)
+                .transpose(2, 1, 0)
+                .reshape(T_pad // r, r * G, B_pad)
+            )
+            w = w0 + fls._slot_windows(B_pad)
+            bosr = o + 1 - w * blk
+            eosr = (n + o + 1) - w * blk
+            from ..ops.longstring import DTYPE as _DT
+
+            v0 = jnp.zeros((lanes, B_pad), _DT)
+            gates = jnp.ones((G, B_pad), _DT)
+            cnt, tail = fls.scanner._count_v0_call_b(
+                tm, v0, gates, bosr, eosr, True,
+                T_pad, B_pad, B_blk, T_chunk, r, G, o, o + blk,
+            )
+            total = jax.lax.psum(jnp.sum(cnt), axis)
+            tail_any = jax.lax.psum(jnp.sum(tail), axis) > 0
+            return total, tail_any
+
+        return _go(de)

@@ -146,3 +146,33 @@ def test_multipattern_sharded(mesh):
         o = OracleEngine(build_nfa(pat))
         for i, rec in enumerate(recs):
             assert bool(per[i, p]) == o.search(rec), (rec, pat)
+
+
+def test_long_stats_sharded_kernel_rate(mesh):
+    """Kernel-rate sharded long string: overlapped windows split over the
+    data axis, one psum of (body, EOS-tail) — vs the oracle, plus the
+    summary-SPMD fallback for cyclic patterns."""
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    base = get_config()
+    rng = np.random.default_rng(23)
+    t = bytes(rng.choice(list(b"abcdtogx"), size=6000).astype(np.uint8))
+    try:
+        set_config(base.with_(long_block=256))
+        for pat in ("cat|dog", "ab?c"):
+            prog = compile_program(pat)
+            ds = DistScanner(prog, mesh)
+            assert ds._long_fast_scanner() is not None
+            orc = OracleEngine(prog.nfa)
+            exp = len(orc.ends(t))
+            assert ds.long_stats(t, mode="count") == exp, pat
+            assert ds.long_stats(t, mode="any") == (exp > 0), pat
+        # cyclic pattern: falls back to the summary SPMD path
+        prog = compile_program("(ab)*c")
+        ds = DistScanner(prog, mesh)
+        assert ds._long_fast_scanner() is None
+        orc = OracleEngine(prog.nfa)
+        t2 = t[:800]
+        assert ds.long_stats(t2, mode="count") == len(orc.ends(t2))
+    finally:
+        set_config(base)
