@@ -1223,6 +1223,8 @@ def _match_kernel_b(
     spec,
     cspec=None,
     dks=None,
+    K: int = 1,
+    Lp: int = 0,
 ):
     """Count-semantics scan: the per-step dependent chain is just
 
@@ -1235,21 +1237,33 @@ def _match_kernel_b(
     cost); accept flags are taken from the counts directly (> 0 in f32).
     Counts grow by at most a factor of s_tile (+G seeds) per step, so r <= 8
     steps between renorms stay far below bf16's 3.4e38 range for every tier.
+
+    Short-record chaining (K > 1): each lane scans K records laid out as K
+    consecutive ``Lp``-step segments (BOS | bytes | EOS | dead-pad), so the
+    dependent chain stays ~K*Lp steps long and per-kernel-block fixed costs
+    amortize over K times more bytes. The EOS mask ends every segment with
+    v within the EOS class (whose follow set is empty), so the next
+    segment's BOS step re-seeds exactly like a fresh scan — no state leaks
+    across records. len_ref and the stat arrays carry K stacked blocks
+    ([K*G, B] / [K*C, B]); per-step stats are routed to the live segment's
+    block with an iota one-hot (elementwise, off the matmul chain).
     """
     j = pl.program_id(1)
     nT = pl.num_programs(1)
-    G = len_ref.shape[0]  # packing groups (records per row)
+    KG = len_ref.shape[0]
+    G = KG // K  # packing groups (records per row-step)
     C = at_ref.shape[0]  # accept channels (G, or G*P for multi-pattern)
     P = C // G
+    KC = K * C
     B = v_s.shape[1]
     seed_col = jnp.broadcast_to(seed_ref[:], (lanes, B)).astype(DTYPE)
     c0 = c0_ref[:]
     zero_c0 = jnp.zeros_like(c0)
-    lens = len_ref[:]
-    lenc = (
-        jnp.broadcast_to(lens[:, None, :], (G, P, B)).reshape(C, B)
+    lens_all = len_ref[:]  # [K*G, B]
+    lenc_all = (
+        jnp.broadcast_to(lens_all[:, None, :], (KG, P, B)).reshape(KC, B)
         if P > 1
-        else lens
+        else lens_all
     )
 
     @pl.when(j == 0)
@@ -1257,19 +1271,24 @@ def _match_kernel_b(
         v_s[:] = seed_col
         if nullable:
             if seeded:
-                cnt_s[:] = lenc + 1
-                last_s[:] = lenc
+                cnt_s[:] = lenc_all + 1
+                last_s[:] = lenc_all
             else:
-                cnt_s[:] = jnp.ones_like(lenc)
-                last_s[:] = jnp.zeros_like(lenc)
-            first_s[:] = jnp.zeros_like(lenc)
+                cnt_s[:] = jnp.ones_like(lenc_all)
+                last_s[:] = jnp.zeros_like(lenc_all)
+            first_s[:] = jnp.zeros_like(lenc_all)
         else:
-            cnt_s[:] = jnp.zeros_like(lenc)
-            first_s[:] = jnp.full_like(lenc, -1)
-            last_s[:] = jnp.full_like(lenc, -1)
+            cnt_s[:] = jnp.zeros_like(lenc_all)
+            first_s[:] = jnp.full_like(lenc_all, -1)
+            last_s[:] = jnp.full_like(lenc_all, -1)
         full_s[:] = (
-            (lenc == 0).astype(jnp.int32) if nullable else jnp.zeros_like(lenc)
+            (lenc_all == 0).astype(jnp.int32)
+            if nullable
+            else jnp.zeros_like(lenc_all)
         )
+
+    if K > 1:
+        seg_row = jax.lax.broadcasted_iota(jnp.int32, (KC, B), 0) // C
 
     def body(i, _):
         slab = data_ref[i]  # [r*G, B]
@@ -1277,16 +1296,33 @@ def _match_kernel_b(
         for m in range(r):
             d = slab[m * G : (m + 1) * G]
             tg = j * T_chunk + i * r + m
+            if K == 1:
+                tl = tg
+                lens = lens_all
+                lenc = lenc_all
+            else:
+                seg = tg // Lp
+                tl = tg - seg * Lp
+                lens = lens_all[0:G]
+                for k in range(1, K):
+                    lens = jnp.where(
+                        seg == k, lens_all[k * G : (k + 1) * G], lens
+                    )
+                lenc = (
+                    jnp.broadcast_to(lens[:, None, :], (G, P, B)).reshape(C, B)
+                    if P > 1
+                    else lens
+                )
             y = _apply_ft(v, ft_ref, dks, B=B)
             if seeded:
                 y = y + c0
             else:
-                y = y + jnp.where(tg < n_seed, c0, zero_c0)
+                y = y + jnp.where(tl < n_seed, c0, zero_c0)
             if cspec is not None:
-                b16 = _cls_mask(d, tg, lens, cspec, bct_ref, B=B)
+                b16 = _cls_mask(d, tl, lens, cspec, bct_ref, B=B)
             else:
                 b16 = _bits_from_bytes(
-                    d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
+                    d, tl, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
                 )
             v = y * b16
             fl = (
@@ -1295,13 +1331,25 @@ def _match_kernel_b(
                 ).astype(jnp.float32)
                 > 0
             )  # [C, B]
-            e = jnp.minimum(tg, lenc)
+            e = jnp.minimum(tl, lenc)
+            if K > 1:
+                # route this step's stats to the live segment's block
+                fl = (
+                    jnp.broadcast_to(fl[None], (K, C, B)).reshape(KC, B)
+                    & (seg_row == seg)
+                )
+                e = jnp.broadcast_to(e[None], (K, C, B)).reshape(KC, B)
+                fin = fl & jnp.broadcast_to(
+                    (tl >= lenc)[None], (K, C, B)
+                ).reshape(KC, B)
+            else:
+                fin = fl & (tl >= lenc)
             if not (nullable and seeded):
                 new = fl & (e != last_s[:])
                 cnt_s[:] = cnt_s[:] + new.astype(jnp.int32)
             first_s[:] = jnp.where((first_s[:] < 0) & fl, e, first_s[:])
             last_s[:] = jnp.where(fl, e, last_s[:])
-            full_s[:] = full_s[:] | (fl & (tg >= lenc)).astype(jnp.int32)
+            full_s[:] = full_s[:] | fin.astype(jnp.int32)
         # renorm: counts -> booleans once per slab (bf16-range safety)
         v_s[:] = (v.astype(jnp.float32) > 0).astype(DTYPE)
         return 0
@@ -1827,6 +1875,24 @@ def _time_major(data, G: int, L: int, T_pad: int, B_pad: int, r: int):
     return d.reshape(T_pad // r, r * G, B_pad)
 
 
+def _time_major_chained(
+    data, G: int, L: int, K: int, T_pad: int, B_pad: int, r: int
+):
+    """[B_rows*G*K, L] uint8 -> [T_pad // r, r*G, B_pad] slab layout with K
+    records chained per lane: record b = (row*G + g)*K + k occupies stream
+    steps [k*Lp, (k+1)*Lp) of lane (g, row), Lp = L + 3 (BOS | bytes | EOS |
+    dead guard; the non-byte rows read dead bytes, overridden in-kernel).
+    The trailing all-dead step zeroes the state vector so no follow edge —
+    not even an EOS-position's (``a$^b`` has follow($) = {^}) — can leak
+    into the next segment's BOS re-seed."""
+    B_rows = data.shape[0] // (G * K)
+    d = data.reshape(B_rows, G, K, L).transpose(2, 3, 1, 0)  # [K, L, G, Br]
+    d = jnp.pad(d, ((0, 0), (1, 2), (0, 0), (0, B_pad - B_rows)))
+    d = d.reshape(K * (L + 3), G, B_pad)
+    d = jnp.pad(d, ((0, T_pad - K * (L + 3)), (0, 0), (0, 0)))
+    return d.reshape(T_pad // r, r * G, B_pad)
+
+
 def _full_spec(shape):
     return pl.BlockSpec(
         shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -1834,20 +1900,30 @@ def _full_spec(shape):
 
 
 def _add_byte_path(cls):
-    def _geom_b(self, L: int, B_rows: int, b_blk_max: int = B_BLK_MAX):
+    def _geom_b(
+        self, L: int, B_rows: int, b_blk_max: int = B_BLK_MAX, K: int = 1
+    ):
         """Byte-slab geometry. Unlike the mask-stream path (W uint32 words
         per row-step), the fused byte path carries 1 byte per record-step,
         so wide-lane tiers (multiblock) keep full-size batch blocks — the
-        VMEM budget is set by the int8 slab (sublane-padded to 32 rows)."""
+        VMEM budget is set by the int8 slab (sublane-padded to 32 rows).
+        K > 1 = short-record chaining (K Lp-step segments per lane,
+        Lp = L + 3: BOS | bytes | EOS | dead guard)."""
         from ..utils.config import get_config
 
         cfg = get_config()
-        T = L + 2
+        T = L + 2 if K == 1 else K * (L + 3)
         b_cap = min(b_blk_max, cfg.b_blk_max)
         if self.lanes > 512:
             b_cap = min(b_cap, 1024)  # state vector [lanes, B] VMEM bound
-        B_blk = min(b_cap, _round_up(max(B_rows, 1), 128))
-        B_pad = _round_up(max(B_rows, 1), B_blk)
+        # pick B_blk so the last batch block is full (or nearly so): split
+        # B_rows into ceil(B_rows / b_cap) equal blocks instead of padding
+        # up to a multiple of b_cap (a 2560-row batch runs as 2x1280, not
+        # 2x2048 with 37% dead columns)
+        br = max(B_rows, 1)
+        nb = -(-br // b_cap)
+        B_blk = min(b_cap, _round_up(-(-br // nb), 128))
+        B_pad = _round_up(br, B_blk)
         r = cfg.slab_r or max(1, min(32 // max(self.Gp, 1), 8))
         rows = max(32, r * max(self.Gp, 1))
         t_cap = max(r, STREAM_VMEM_BUDGET * r // (rows * B_blk))
@@ -1864,32 +1940,82 @@ def _add_byte_path(cls):
             ((0, 0), (0, B_pad - B_rows)),
         )
 
+    def _chain_k(self, L: int, n_rec: int) -> int:
+        """Chain factor for short records (K Lp-step segments per lane):
+        amortizes per-block fixed costs and batch-padding waste over a
+        ~chain_target-step dependent chain. 1 = no chaining."""
+        from ..utils.config import get_config
+
+        cfg = get_config()
+        Lp = L + 3
+        G = max(1, self.Gp)
+        C = self.at.shape[0]
+        if not cfg.chain_target or Lp >= cfg.chain_target:
+            return 1
+        K = min(cfg.chain_target // Lp, 8, max(64 // C, 1))
+        # keep enough chains per block to fill the batch lanes
+        while K > 1 and n_rec < K * G * 512:
+            K -= 1
+        return max(K, 1)
+
     # -- match stats -----------------------------------------------------
     def match_stats_b(self, data, len_g, *, seeded: bool):
         """Raw bytes [B, L] + len_g [B_rows, G] -> per accept channel
         (cnt, first, last, full, any), each [B_rows, C]."""
         data = jnp.asarray(data)
-        B_rows = len_g.shape[0]
         L = data.shape[1]
-        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows)
-        lenT = self._lenT(len_g, B_pad)
-        cnt, first, last, full = self._match_call_b(
-            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r
+        G = max(1, self.Gp)
+        B_rows0, B = len_g.shape[0], len_g.shape[0] * G
+        K = self._chain_k(L, B)
+        if K == 1:
+            T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows0)
+            lenT = self._lenT(len_g, B_pad)
+            cnt, first, last, full = self._match_call_b(
+                data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, 1
+            )
+            tr = lambda x: jnp.transpose(x[:, :B_rows0], (1, 0))
+            cnt, first, last, full = tr(cnt), tr(first), tr(last), tr(full)
+            return cnt, first, last, full > 0, cnt > 0
+        # chained: regroup records as [B_rows, G, K]; record b = (row*G+g)*K+k
+        P = self.at.shape[0] // G
+        lens_flat = jnp.asarray(len_g).reshape(-1)
+        Bp = _round_up(B, G * K)
+        if Bp != B:
+            data = jnp.pad(data, ((0, Bp - B), (0, 0)))
+            lens_flat = jnp.pad(lens_flat, (0, Bp - B))
+        B_rows = Bp // (G * K)
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows, K=K)
+        lk = lens_flat.reshape(B_rows, G, K).transpose(2, 1, 0).reshape(
+            K * G, B_rows
         )
-        tr = lambda x: jnp.transpose(x[:, :B_rows], (1, 0))
-        cnt, first, last, full = tr(cnt), tr(first), tr(last), tr(full)
+        lenT = jnp.pad(lk.astype(jnp.int32), ((0, 0), (0, B_pad - B_rows)))
+        cnt, first, last, full = self._match_call_b(
+            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K
+        )
+
+        def un(x):  # [K*C, B_pad] -> [B_rows0, G*P] in external record order
+            o = x[:, :B_rows].reshape(K, G, P, B_rows).transpose(3, 1, 0, 2)
+            return o.reshape(Bp, P)[:B].reshape(B_rows0, G * P)
+
+        cnt, first, last, full = un(cnt), un(first), un(last), un(full)
         return cnt, first, last, full > 0, cnt > 0
 
     @functools.partial(
         jax.jit,
         static_argnames=(
-            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r",
+            "K",
         ),
     )
-    def _match_call_b(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r):
+    def _match_call_b(
+        self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K
+    ):
         G, lanes = self.Gp, self.lanes
         C = self.at.shape[0]
-        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        if K == 1:
+            tm = _time_major(data, G, L, T_pad, B_pad, r)
+        else:
+            tm = _time_major_chained(data, G, L, K, T_pad, B_pad, r)
         nB, nT = B_pad // B_blk, T_pad // T_chunk
         kernel = functools.partial(
             _match_kernel_b,
@@ -1903,10 +2029,16 @@ def _add_byte_path(cls):
             spec=self.spec,
             cspec=self.cspec,
             dks=self.diag_ks,
+            K=K,
+            Lp=L + 3,
         )
         fttab = self.ftd if self.diag_ks else self.ft
-        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
-        cspec = pl.BlockSpec((C, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec(
+            (K * G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        cspec = pl.BlockSpec(
+            (K * C, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
         dspec = pl.BlockSpec(
             (T_chunk // r, r * G, B_blk), lambda i, j: (j, 0, i),
             memory_space=pltpu.VMEM,
@@ -1925,10 +2057,11 @@ def _add_byte_path(cls):
             ],
             out_specs=(cspec,) * 4,
             out_shape=tuple(
-                jax.ShapeDtypeStruct((C, B_pad), jnp.int32) for _ in range(4)
+                jax.ShapeDtypeStruct((K * C, B_pad), jnp.int32)
+                for _ in range(4)
             ),
             scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)]
-            + [pltpu.VMEM((C, B_blk), jnp.int32)] * 4,
+            + [pltpu.VMEM((K * C, B_blk), jnp.int32)] * 4,
             interpret=_interpret(),
         )(lenT, tm, fttab, self.c0, self.bct, self.at, self.seed)
 
@@ -2314,6 +2447,7 @@ def _add_byte_path(cls):
 
     cls._geom_b = _geom_b
     cls._lenT = _lenT
+    cls._chain_k = _chain_k
     cls.match_stats_b = match_stats_b
     cls._match_call_b = _match_call_b
     cls.forward_flags_b = forward_flags_b
@@ -2337,10 +2471,14 @@ def _add_sparse_byte_path(cls):
     @functools.partial(
         jax.jit,
         static_argnames=(
-            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r",
+            "K",
         ),
     )
-    def _match_call_b(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r):
+    def _match_call_b(
+        self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K=1
+    ):
+        assert K == 1, "record chaining is a dense-tier optimization"
         lanes = self.lanes
         C = self.at1.shape[0]
         npart = self.pb.shape[0]
@@ -2487,6 +2625,7 @@ def _add_sparse_byte_path(cls):
     cls._match_call_b = _match_call_b
     cls._flags_call_b = _flags_call_b
     cls._reverse_call_b = _reverse_call_b
+    cls._chain_k = lambda self, L, n_rec: 1  # chaining is dense-tier only
 
 
 _add_byte_path(PallasScanner)

@@ -38,6 +38,16 @@ class RrxConfig:
     slab_r: int = field(default_factory=lambda: _env_int("RRX_SLAB_R", 0))
     # long-string mode block length
     long_block: int = field(default_factory=lambda: _env_int("RRX_LONG_BLOCK", 4096))
+    # short-record chaining: pack K records per scan lane along the time
+    # axis (stream = K x (BOS|bytes|EOS|guard) segments) so per-kernel-block
+    # fixed costs amortize over ~chain_target steps. 0 (default) = off:
+    # on v5e the equal-block batch geometry already amortizes well and
+    # chaining's segment-routing tax usually outweighs the win (measured
+    # medians: L=128 +7%, L<=64 and L=256 negative); the knob exists for
+    # workloads/parts where per-block fixed costs dominate.
+    chain_target: int = field(
+        default_factory=lambda: _env_int("RRX_CHAIN_TARGET", 0)
+    )
     # banded follow matrices (bounded-repetition chains): apply F^T as
     # <= this many diagonal shift+multiply VPU ops instead of the dense
     # lanes^2 MXU matmul; 0 disables the banded kernels

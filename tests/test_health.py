@@ -1,0 +1,127 @@
+"""Failure detection / elastic recovery (parallel.health) on the virtual
+8-device CPU mesh.
+
+The reference has no failure story at all (single process, SURVEY.md §5);
+this covers the beyond-fail-fast tier: active mesh probing, retry wrappers,
+remeshing over survivors, and the full detect -> remesh -> retry drill via
+fault injection.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from roaringregex_tpu.compiler.program import compile_program
+from roaringregex_tpu.oracle.engine import OracleEngine
+from roaringregex_tpu.parallel import (
+    DistScanner,
+    ElasticScanner,
+    InjectedFault,
+    inject_faults,
+    make_mesh,
+    probe_mesh,
+    shard_batch,
+    surviving_mesh,
+    with_retry,
+)
+
+
+def _pack(records, L_pad=32):
+    data = np.zeros((len(records), L_pad), dtype=np.uint8)
+    lengths = np.zeros(len(records), dtype=np.int32)
+    for i, r in enumerate(records):
+        data[i, : len(r)] = np.frombuffer(r, dtype=np.uint8)
+        lengths[i] = len(r)
+    return data, lengths
+
+
+RECORDS = [
+    b"catdog", b"dog", b"bird", b"catcatcat", b"", b"cccatdoggg",
+    b"dogcat" * 4, b"xyz", b"cat", b"ccccdddd", b"adogb", b"catx",
+] * 2  # 24 records
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def test_probe_mesh_healthy(mesh):
+    h = probe_mesh(mesh, timeout_s=60.0)
+    assert h.ok, h
+    assert len(h.alive) == 8 and not h.dead
+    assert h.latency_s > 0
+
+
+def test_surviving_mesh_shrinks(mesh):
+    h = probe_mesh(mesh, collective=False, timeout_s=60.0)
+    m6 = surviving_mesh(h.alive[:6])
+    assert int(np.prod(m6.devices.shape)) == 6
+    m4 = surviving_mesh(h.alive[:6], pow2=True)
+    assert int(np.prod(m4.devices.shape)) == 4
+    with pytest.raises(RuntimeError):
+        surviving_mesh([])
+
+
+def test_with_retry_transient():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ValueError("transient")
+        return 42
+
+    assert with_retry(flaky, retries=3, backoff_s=0.0) == 42
+    assert len(calls) == 3
+    with pytest.raises(ValueError):
+        with_retry(flaky_always := (lambda: (_ for _ in ()).throw(
+            ValueError("hard"))), retries=1, backoff_s=0.0)
+
+
+def test_elastic_matches_dist(mesh):
+    prog = compile_program("cat|dog")
+    oracle = OracleEngine(prog.nfa)
+    data, lengths = _pack(RECORDS)
+    es = ElasticScanner(prog, mesh)
+    total, nrec, nbytes = es.global_stats(data, lengths)
+
+    sc = DistScanner(prog, mesh)
+    d, l = shard_batch(mesh, data, lengths)
+    t2, n2, b2 = sc.global_stats(d, l)
+    assert int(total) == int(t2) and int(nrec) == int(n2)
+    assert int(nbytes) == int(b2)
+
+    want = sum(len(oracle.ends(bytes(r))) for r in RECORDS)
+    assert int(total) == want
+
+    hits = es.grep_hits(data, lengths)
+    assert hits.shape[0] == len(RECORDS)
+    for i, r in enumerate(RECORDS):
+        assert bool(hits[i]) == (len(oracle.ends(bytes(r))) > 0), (i, r)
+
+
+def test_elastic_recovers_from_injected_fault(mesh):
+    """The full drill: armed fault -> probe -> rebuild -> retry succeeds,
+    and results are identical to the healthy run."""
+    prog = compile_program("cat|dog")
+    data, lengths = _pack(RECORDS)
+    es = ElasticScanner(prog, mesh, probe_timeout_s=60.0)
+    healthy = tuple(int(x) for x in es.global_stats(data, lengths))
+
+    inject_faults(1)
+    recovered = tuple(int(x) for x in es.global_stats(data, lengths))
+    assert recovered == healthy
+    assert es.recoveries == 1
+
+    # odd batch size still pads correctly after recovery
+    cnt, first, anym = es.per_record(data[:23], lengths[:23])
+    assert cnt.shape[0] == 23
+
+    # exhausting max_recoveries re-raises the fault
+    es2 = ElasticScanner(prog, mesh, max_recoveries=0)
+    inject_faults(1)
+    with pytest.raises(InjectedFault):
+        es2.global_stats(data, lengths)
+    inject_faults(0)

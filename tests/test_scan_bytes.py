@@ -206,3 +206,57 @@ def test_sparse_bytes_parity():
         )
         np.testing.assert_array_equal(np.asarray(cu), np.asarray(cb).reshape(-1))
         np.testing.assert_array_equal(np.asarray(fu), np.asarray(fb).reshape(-1))
+
+
+CHAIN_PATTERNS = [
+    "cat|dog",        # tile 8, G=16
+    "[a-z]+\\.log$",  # end anchor
+    "(ab)*c+d?",      # kleene
+    "a*",             # nullable
+    "^ab",            # begin anchor
+    "a$^b",           # adversarial: follow($) = {^} must NOT leak across
+                      # the chained segment boundary (dead guard step)
+    "(a$|b)c?",       # mid-pattern anchor alternation
+]
+
+
+@pytest.mark.parametrize("pattern", CHAIN_PATTERNS)
+def test_chained_match_stats_parity(pattern):
+    """Short-record chaining (K records per lane along the time axis) must
+    be invisible: identical stats to the unchained kernel for every policy,
+    including anchors, nullable patterns, and fullmatch (seeded=False)."""
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    prog = compile_program(pattern)
+    tab_p = sp.packed_tables(prog)
+    scanner = spl.PallasScanner(prog, tab_p)
+    rng = np.random.default_rng(7)
+    G = max(1, prog.G)
+    base = get_config()
+    for B, L in [(4 * G, 12), (8 * G, 30), (16 * G, 7)]:
+        alpha = np.frombuffer(b"abcd. \x00xyzgtol", np.uint8)
+        data = alpha[rng.integers(0, len(alpha), size=(B, L))].astype(np.uint8)
+        lens = rng.integers(0, L + 1, size=B).astype(np.int32)
+        len_g = lens.reshape(-1, G)
+        K = min(1024 // (L + 3), 8, max(64 // scanner.at.shape[0], 1))
+        assert K > 1, "test must exercise a real chain factor"
+        for seeded in (True, False):
+            try:
+                set_config(base.with_(chain_target=0))
+                ref = scanner.match_stats_b(data, len_g, seeded=seeded)
+                orig = spl.PallasScanner._chain_k
+                spl.PallasScanner._chain_k = lambda self, L_, n_, K=K: K
+                try:
+                    got = scanner.match_stats_b(data, len_g, seeded=seeded)
+                finally:
+                    spl.PallasScanner._chain_k = orig
+            finally:
+                set_config(base)
+            for name, a, b in zip(
+                ["cnt", "first", "last", "full", "any"], ref, got
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{pattern!r} B={B} L={L} K={K} "
+                            f"seeded={seeded} stat={name}",
+                )
