@@ -92,7 +92,8 @@ class ScanEngine:
             self.backend == "pallas"
             and accept_map is None
             and channels_per_record == 1
-            and prog.tier in ("multiblock", "sparse")
+            and prog.G <= 1  # any one-record-per-row tier: the lanes^2
+            # matmul (or container expansion) loses to run-length counting
         ):
             from .ops import scan_pallas as spl
 
@@ -100,8 +101,8 @@ class ScanEngine:
         if self._counting is not None:
             from .ops import scan_pallas as spl
 
-            # run-length (counting) tier: X{m,n} single-class repetitions
-            # collapse to one int32 per record — no follow matmul, no
+            # run-length (counting) tier: fixed-length-body X{m,n}
+            # repetitions collapse to one int32 per record — no follow matmul, no
             # sparse-container kernels, no VMEM caps (the family the
             # reference's broken Roaring tier targets, Parser.cpp:165-168)
             self._pallas = spl.CountScanner(

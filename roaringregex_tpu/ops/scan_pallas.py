@@ -3200,17 +3200,21 @@ _add_longstring_calls(PallasScanner)
 
 
 def counting_plan(prog: DeviceProgram):
-    """Detect ``X{m,n}`` (single symbol-class base) and return the
-    run-length plan ``(m, n_or_0, byte_runs)``, else None.
+    """Detect ``X{m,n}`` where X is a fixed-length body of symbol classes
+    (``a{3,1200}``, ``(ab){2,600}``, ``([a-c][0-9]){4,}``) and return the
+    run-length plan ``(m, n_or_0, body)`` — body is a tuple of per-position
+    byte-run tuples, k = len(body) <= 8 — else None.
 
     The Glushkov follow matrix of such patterns is a dense triangle
     (every repetition past the m-th is optional, so each position follows
     all earlier ones), which forces a lanes^2 matmul per byte on the
     matrix tiers — the family the reference's Roaring tier exists for
-    (Parser.cpp:165-168, regex.h:34). But the reachable state sets are
-    always suffix intervals {k..n}, so the whole subset simulation
-    collapses to one integer per record: the length of the X-run ending
-    at the cursor (capped), with accept iff run >= m."""
+    (Parser.cpp:165-168, regex.h:34). But because every body copy has
+    fixed length k, the reachable state sets are suffix intervals and the
+    whole subset simulation collapses to one integer per record: the
+    number of consecutive body copies ending at the cursor (a run-length
+    recurrence at stride k), with accept iff run >= m. Body occurrence is
+    tracked with k-1 rolling prefix-progress bits — no follow matmul."""
     from ..compiler.parser import BOS, EOS, Concat, Lit, Repeat, parse
 
     try:
@@ -3224,23 +3228,31 @@ def counting_plan(prog: DeviceProgram):
     child = node.child
     while isinstance(child, Concat) and len(child.parts) == 1:
         child = child.parts[0]
-    if not isinstance(child, Lit):
+    parts = list(child.parts) if isinstance(child, Concat) else [child]
+    if not 1 <= len(parts) <= 8:
         return None
-    syms = child.syms
-    if BOS in syms or EOS in syms:
-        return None
-    bs = sorted(syms)
-    runs = []
-    lo = prev = bs[0]
-    for b in bs[1:]:
-        if b == prev + 1:
-            prev = b
-        else:
-            runs.append((lo, prev))
-            lo = prev = b
-    runs.append((lo, prev))
+    body = []
+    for p in parts:
+        while isinstance(p, Concat) and len(p.parts) == 1:
+            p = p.parts[0]
+        if not isinstance(p, Lit):
+            return None
+        syms = p.syms
+        if BOS in syms or EOS in syms:
+            return None
+        bs = sorted(syms)
+        runs = []
+        lo = prev = bs[0]
+        for b in bs[1:]:
+            if b == prev + 1:
+                prev = b
+            else:
+                runs.append((lo, prev))
+                lo = prev = b
+        runs.append((lo, prev))
+        body.append(tuple(runs))
     n = 0 if node.hi is None else int(node.hi)
-    return int(node.lo), n, tuple(runs)
+    return int(node.lo), n, tuple(body)
 
 
 def _in_class(d, runs):
@@ -3251,6 +3263,33 @@ def _in_class(d, runs):
     return x
 
 
+def _count_step(rb_s, pb_s, hits, lens, tg, GC, k, cap):
+    """Shared stride-k run-length step: body-occurrence from rolling
+    prefix-progress bits, run from the k-lagged buffer. Returns (occ, r)
+    and rotates both buffers."""
+    if k == 1:
+        occ = hits[0]
+        r_lag = rb_s[:]
+    else:
+        pb = pb_s[:]  # p_1..p_{k-1} of the previous step
+        occ = (pb[(k - 2) * GC : (k - 1) * GC] > 0) & hits[k - 1]
+        new_p = [hits[0].astype(jnp.int32)]
+        for q in range(2, k):
+            new_p.append(
+                (
+                    (pb[(q - 2) * GC : (q - 1) * GC] > 0) & hits[q - 1]
+                ).astype(jnp.int32)
+            )
+        pb_s[:] = jnp.concatenate(new_p, axis=0)
+        r_lag = rb_s[0:GC]  # r[tg - k]
+    r = jnp.where(occ, jnp.minimum(r_lag + 1, cap), 0)
+    if k == 1:
+        rb_s[:] = r
+    else:
+        rb_s[:] = jnp.concatenate([rb_s[GC:], r], axis=0)
+    return occ, r
+
+
 def _count_match_kernel(
     len_ref,  # [GC, B] int32
     data_ref,  # [T_chunk, GC, B] uint8
@@ -3258,8 +3297,9 @@ def _count_match_kernel(
     first_out,
     last_out,
     full_out,  # [GC, B] int32
-    rl_s,  # [GC, B] int32: X-run length ending at cursor (capped)
-    ap_s,  # [GC, B] int32: all-prefix-in-X flag (unseeded/anchored runs)
+    rb_s,  # [k*GC, B] int32: last k body-run lengths (stride-k lag buffer)
+    ab_s,  # [k*GC, B] int32: last k anchored-prefix flags (unseeded runs)
+    pb_s,  # [max(k-1,1)*GC, B] int32: body prefix-progress bits p_1..p_{k-1}
     cnt_s,
     first_s,
     last_s,
@@ -3269,22 +3309,27 @@ def _count_match_kernel(
     nullable: bool,
     m: int,
     n: int,
-    runs,
+    body_runs,
     T_chunk: int,
 ):
     """Counting-tier scan: per-step state is one int32 run length per
-    record — rl' = X(byte) ? min(rl+1, cap) : 0, accept iff rl >= m.
-    Stats accumulation mirrors _match_kernel_b."""
+    record — r' = occ(body ends here) ? min(r[t-k]+1, cap) : 0, accept iff
+    r >= m, where k = len(body). Body occurrence is tracked with k-1
+    rolling prefix bits; for k == 1 this degenerates to the single-class
+    X-run recurrence. Stats accumulation mirrors _match_kernel_b."""
     j = pl.program_id(1)
     nT = pl.num_programs(1)
     lens = len_ref[:]
+    GC = lens.shape[0]
+    k = len(body_runs)
     mm = max(m, 1)
     cap = n if n else mm
 
     @pl.when(j == 0)
     def _init():
-        rl_s[:] = jnp.zeros_like(lens)
-        ap_s[:] = jnp.ones_like(lens)
+        rb_s[:] = jnp.zeros(rb_s.shape, rb_s.dtype)
+        ab_s[:] = jnp.ones(ab_s.shape, ab_s.dtype)
+        pb_s[:] = jnp.zeros(pb_s.shape, pb_s.dtype)
         if nullable:
             if seeded:
                 cnt_s[:] = lens + 1
@@ -3304,17 +3349,30 @@ def _count_match_kernel(
     def body(i, _):
         d = data_ref[i].astype(jnp.int32)  # [GC, B]
         tg = j * T_chunk + i
-        x = _in_class(d, runs) & (tg >= 1) & (tg <= lens)
-        rl = jnp.where(x, jnp.minimum(rl_s[:] + 1, cap), 0)
-        rl_s[:] = rl
+        valid = (tg >= 1) & (tg <= lens)
+        hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
+        occ, r = _count_step(rb_s, pb_s, hits, lens, tg, GC, k, cap)
         if seeded:
-            fl = rl >= mm
+            fl = r >= mm
         else:
-            ap = ap_s[:] * jnp.where(x | (tg < 1) | (tg > lens), 1, 0)
-            ap_s[:] = ap
-            fl = (ap > 0) & (tg >= mm) & (tg <= lens)
+            ap_lag = ab_s[0:GC] if k > 1 else ab_s[:]
+            ap = jnp.where(
+                tg < 1,
+                jnp.ones_like(ap_lag),
+                jnp.where(occ, ap_lag, 0),
+            )
+            if k == 1:
+                # dead tail passes through (matches the matrix tiers'
+                # frozen post-EOS state; values past lens are never read)
+                ap = jnp.where(tg > lens, ap_lag, ap)
+                ab_s[:] = ap
+            else:
+                ab_s[:] = jnp.concatenate([ab_s[GC:], ap], axis=0)
+            fl = (ap > 0) & (tg >= mm * k) & (tg <= lens)
+            if k > 1:
+                fl = fl & (tg % k == 0)
             if n:
-                fl = fl & (tg <= n)
+                fl = fl & (tg <= n * k)
         e = jnp.minimum(tg, lens)
         if not (nullable and seeded):
             new = fl & (e != last_s[:])
@@ -3338,39 +3396,54 @@ def _count_flags_kernel(
     len_ref,
     data_ref,
     flags_out,  # [T_chunk, GC, B] int8
-    rl_s,
-    ap_s,
+    rb_s,
+    ab_s,
+    pb_s,
     *,
     seeded: bool,
     m: int,
     n: int,
-    runs,
+    body_runs,
     T_chunk: int,
 ):
     j = pl.program_id(1)
     lens = len_ref[:]
+    GC = lens.shape[0]
+    k = len(body_runs)
     mm = max(m, 1)
     cap = n if n else mm
 
     @pl.when(j == 0)
     def _init():
-        rl_s[:] = jnp.zeros_like(lens)
-        ap_s[:] = jnp.ones_like(lens)
+        rb_s[:] = jnp.zeros(rb_s.shape, rb_s.dtype)
+        ab_s[:] = jnp.ones(ab_s.shape, ab_s.dtype)
+        pb_s[:] = jnp.zeros(pb_s.shape, pb_s.dtype)
 
     def body(i, _):
         d = data_ref[i].astype(jnp.int32)
         tg = j * T_chunk + i
-        x = _in_class(d, runs) & (tg >= 1) & (tg <= lens)
-        rl = jnp.where(x, jnp.minimum(rl_s[:] + 1, cap), 0)
-        rl_s[:] = rl
+        valid = (tg >= 1) & (tg <= lens)
+        hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
+        occ, r = _count_step(rb_s, pb_s, hits, lens, tg, GC, k, cap)
         if seeded:
-            fl = rl >= mm
+            fl = r >= mm
         else:
-            ap = ap_s[:] * jnp.where(x | (tg < 1) | (tg > lens), 1, 0)
-            ap_s[:] = ap
-            fl = (ap > 0) & (tg >= mm) & (tg <= lens)
+            ap_lag = ab_s[0:GC] if k > 1 else ab_s[:]
+            ap = jnp.where(
+                tg < 1,
+                jnp.ones_like(ap_lag),
+                jnp.where(occ, ap_lag, 0),
+            )
+            if k == 1:
+                ap = jnp.where(tg > lens, ap_lag, ap)
+                ab_s[:] = ap
+            else:
+                ab_s[:] = jnp.concatenate([ab_s[GC:], ap], axis=0)
+            fl = (ap > 0) & (tg >= mm * k) & (tg <= lens)
+            if k > 1:
+                fl = fl & (tg % k == 0)
             if n:
-                fl = fl & (tg <= n)
+                fl = fl & (tg <= n * k)
         flags_out[i] = fl.astype(jnp.int8)
         return 0
 
@@ -3381,36 +3454,63 @@ def _count_reverse_kernel(
     len_ref,
     data_ref,  # chunk nT-1-j of the stream
     hits_out,  # [T_chunk, GC, B] int8
-    rl_s,  # suffix X-run length (bytes tg-1, tg, ... all in X)
+    rb_s,  # [k*GC, B]: next k suffix run lengths (r_rev[tg .. tg+k-1])
+    pb_s,  # [max(k-1,1)*GC, B]: body suffix-progress bits q_1..q_{k-1}
     *,
     m: int,
-    runs,
+    body_runs,
     T_chunk: int,
 ):
+    """Backward pass: r_rev[tg] = #consecutive body copies STARTING at
+    stream step tg (match-start candidates); hit iff r_rev >= m."""
     j = pl.program_id(1)
     nT = pl.num_programs(1)
     lens = len_ref[:]
+    GC = lens.shape[0]
+    k = len(body_runs)
     mm = max(m, 1)
 
     @pl.when(j == 0)
     def _init():
-        rl_s[:] = jnp.zeros_like(lens)
+        rb_s[:] = jnp.zeros(rb_s.shape, rb_s.dtype)
+        pb_s[:] = jnp.zeros(pb_s.shape, pb_s.dtype)
 
     def body(i, _):
         iq = T_chunk - 1 - i
         d = data_ref[iq].astype(jnp.int32)
         tg = (nT - 1 - j) * T_chunk + iq
-        x = _in_class(d, runs) & (tg >= 1) & (tg <= lens)
-        rl = jnp.where(x, jnp.minimum(rl_s[:] + 1, mm), 0)
-        rl_s[:] = rl
-        hits_out[iq] = (rl >= mm).astype(jnp.int8)
+        valid = (tg >= 1) & (tg <= lens)
+        hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
+        if k == 1:
+            occ = hits[0]
+            r_lag = rb_s[:]
+        else:
+            pb = pb_s[:]  # q_1..q_{k-1} of step tg+1
+            occ = hits[0] & (pb[(k - 2) * GC : (k - 1) * GC] > 0)
+            new_q = [hits[k - 1].astype(jnp.int32)]
+            for q in range(2, k):
+                new_q.append(
+                    (
+                        hits[k - q] & (pb[(q - 2) * GC : (q - 1) * GC] > 0)
+                    ).astype(jnp.int32)
+                )
+            pb_s[:] = jnp.concatenate(new_q, axis=0)
+            r_lag = rb_s[(k - 1) * GC :]  # r_rev[tg + k]
+        r = jnp.where(occ, jnp.minimum(r_lag + 1, mm), 0)
+        if k == 1:
+            rb_s[:] = r
+        else:
+            rb_s[:] = jnp.concatenate([r, rb_s[: (k - 1) * GC]], axis=0)
+        hits_out[iq] = (r >= mm).astype(jnp.int8)
         return 0
 
     jax.lax.fori_loop(0, T_chunk, body, 0)
 
 
 class CountScanner:
-    """Run-length scanner for ``X{m,n}`` (see counting_plan). Packs
+    """Run-length scanner for fixed-length-body ``X{m,n}`` — single
+    classes (``a{3,1200}``) and k-class bodies (``(ab){2,600}``) alike
+    (see counting_plan). Packs
     GC = 32 records per sublane row (the int8 slab tile height), so each
     kernel step consumes 32 * B_blk corpus bytes with a handful of int32
     VPU ops — no follow matmul at all. Anchored-rescan / span kernels
@@ -3421,7 +3521,8 @@ class CountScanner:
 
     def __init__(self, prog: DeviceProgram, plan, nullable: "bool | None" = None):
         self.prog = prog
-        self.m, self.n, self.runs = plan
+        self.m, self.n, self.body = plan
+        self.k = len(self.body)
         self.nullable = prog.nullable if nullable is None else nullable
 
     # -- geometry ----------------------------------------------------------
@@ -3484,7 +3585,7 @@ class CountScanner:
             nullable=self.nullable,
             m=self.m,
             n=self.n,
-            runs=self.runs,
+            body_runs=self.body,
             T_chunk=T_chunk,
         )
         gspec = pl.BlockSpec(
@@ -3502,7 +3603,12 @@ class CountScanner:
             out_shape=tuple(
                 jax.ShapeDtypeStruct((GC, B_pad), jnp.int32) for _ in range(4)
             ),
-            scratch_shapes=[pltpu.VMEM((GC, B_blk), jnp.int32)] * 6,
+            scratch_shapes=[
+                pltpu.VMEM((self.k * GC, B_blk), jnp.int32),  # rb
+                pltpu.VMEM((self.k * GC, B_blk), jnp.int32),  # ab
+                pltpu.VMEM((max(self.k - 1, 1) * GC, B_blk), jnp.int32),  # pb
+            ]
+            + [pltpu.VMEM((GC, B_blk), jnp.int32)] * 4,
             interpret=_interpret(),
         )(lenT, tm)
 
@@ -3536,7 +3642,7 @@ class CountScanner:
             seeded=seeded,
             m=self.m,
             n=self.n,
-            runs=self.runs,
+            body_runs=self.body,
             T_chunk=T_chunk,
         )
         gspec = pl.BlockSpec(
@@ -3552,7 +3658,11 @@ class CountScanner:
             in_specs=[gspec, dspec],
             out_specs=dspec,
             out_shape=jax.ShapeDtypeStruct((T_pad, GC, B_pad), jnp.int8),
-            scratch_shapes=[pltpu.VMEM((GC, B_blk), jnp.int32)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((self.k * GC, B_blk), jnp.int32),
+                pltpu.VMEM((self.k * GC, B_blk), jnp.int32),
+                pltpu.VMEM((max(self.k - 1, 1) * GC, B_blk), jnp.int32),
+            ],
             interpret=_interpret(),
         )(lenT, tm)
 
@@ -3577,7 +3687,7 @@ class CountScanner:
         kernel = functools.partial(
             _count_reverse_kernel,
             m=self.m,
-            runs=self.runs,
+            body_runs=self.body,
             T_chunk=T_chunk,
         )
         gspec = pl.BlockSpec(
@@ -3594,6 +3704,9 @@ class CountScanner:
             in_specs=[gspec, dspec],
             out_specs=dspec,
             out_shape=jax.ShapeDtypeStruct((T_pad, GC, B_pad), jnp.int8),
-            scratch_shapes=[pltpu.VMEM((GC, B_blk), jnp.int32)],
+            scratch_shapes=[
+                pltpu.VMEM((self.k * GC, B_blk), jnp.int32),
+                pltpu.VMEM((max(self.k - 1, 1) * GC, B_blk), jnp.int32),
+            ],
             interpret=_interpret(),
         )(lenT, tm)

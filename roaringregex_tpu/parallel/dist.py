@@ -100,7 +100,7 @@ class DistScanner:
             plan = (
                 spl.counting_plan(prog)
                 if accept_map is None and channels_per_record == 1
-                and prog.tier in ("multiblock", "sparse")
+                and prog.G <= 1
                 else None
             )
             if plan is not None:

@@ -148,3 +148,101 @@ def test_banded_offsets_shapes():
     assert banded_offsets(F.T, 4) == (1,)
     assert banded_offsets(np.zeros((4, 4)), 4) is None
     assert banded_offsets(np.triu(np.ones((8, 8)), 1).T, 4) is None
+
+
+# ---------------------------------------------------------------------------
+# Stride-k counting: fixed-length multi-class bodies (ab){m,n} etc.
+# ---------------------------------------------------------------------------
+
+STRIDE_K = [
+    "(ab){2,600}",        # k=2, sparse-size blowup
+    "(ab){2,120}",        # k=2, dense256-size
+    "(ab){40,}",          # k=2, unbounded
+    "(ab){0,40}",         # k=2, nullable
+    "(ab){40}",           # k=2, exact
+    "([a-c][0-9]){2,80}", # k=2, classes per position
+    "(abc){2,100}",       # k=3
+    "(abcd){1,60}",       # k=4
+]
+
+
+def _ktexts(rng, n=20, maxlen=260):
+    ts = [
+        bytes(rng.choice(list(b"abc0123dx"), int(rng.integers(0, maxlen))))
+        for _ in range(n)
+    ]
+    ts += [b"ab" * 130, b"ab" * 120, b"ab" * 2, b"ab", b"", b"a",
+           b"abab" + b"x" + b"ab" * 45, b"abc" * 100, b"abcd" * 60,
+           b"a1b2" * 40, b"ba" * 50]
+    return ts
+
+
+@pytest.mark.parametrize("pattern", STRIDE_K)
+def test_stride_k_plan_detected(pattern):
+    prog = compile_program(pattern)
+    plan = counting_plan(prog)
+    assert plan is not None, pattern
+    m, n, body = plan
+    assert len(body) >= 2
+    eng = ScanEngine(prog, backend="pallas")
+    assert isinstance(eng._pallas, CountScanner)
+
+
+@pytest.mark.parametrize("pattern", STRIDE_K)
+def test_stride_k_stats_oracle_parity(pattern):
+    prog = compile_program(pattern)
+    eng = ScanEngine(prog, backend="pallas")
+    assert isinstance(eng._pallas, CountScanner)
+    orc = OracleEngine.compile(pattern)
+    data, lens = _pack(_ktexts(np.random.default_rng(11)))
+    cnt, first, anym = eng.match_stats(data, lens, seeded=True)
+    cnt = np.asarray(cnt).reshape(-1)
+    first = np.asarray(first).reshape(-1)
+    fm = eng.fullmatch_flags(data, lens)
+    for i in range(len(lens)):
+        t = bytes(data[i, : lens[i]])
+        ends = orc.ends(t)
+        assert int(cnt[i]) == len(ends), (pattern, i, t[:24])
+        assert int(first[i]) == (min(ends) if ends else -1), (pattern, i)
+        assert bool(fm[i]) == orc.fullmatch(t), (pattern, i, t[:24])
+
+
+@pytest.mark.parametrize("pattern", ["(ab){2,80}", "(abc){1,50}", "(ab){0,80}"])
+def test_stride_k_bitmaps_and_spans(pattern):
+    pat = Pattern(pattern, backend="pallas")
+    assert isinstance(pat.engine._pallas, CountScanner)
+    orc = OracleEngine.compile(pattern)
+    rng = np.random.default_rng(13)
+    texts = [
+        bytes(rng.choice(list(b"abcx"), int(rng.integers(0, 90))))
+        for _ in range(12)
+    ] + [b"ab" * 40, b"abc" * 30, b""]
+    data, lens = _pack(texts)
+    maxlen = data.shape[1]
+    eb = pat.engine.ends_bitmap(data, lens, maxlen)
+    sb = pat.engine.starts_bitmap(data, lens, maxlen)
+    for i, t in enumerate(texts):
+        assert set(np.nonzero(eb[i])[0]) == orc.ends(t), (pattern, i, t[:24])
+        assert set(np.nonzero(sb[i])[0]) == orc.starts(t), (pattern, i, t[:24])
+    for longest in (False, True):
+        spans = pat.finditer_batch(texts, longest=longest)
+        for t, sp in zip(texts, spans):
+            assert list(sp) == list(orc.finditer(t, longest=longest)), (
+                pattern, longest, t[:24],
+            )
+
+
+def test_stride_k_unseeded_flags():
+    pat = "(ab){2,120}"
+    prog = compile_program(pat)
+    eng = ScanEngine(prog, backend="pallas")
+    assert isinstance(eng._pallas, CountScanner)
+    orc = OracleEngine.compile(pat)
+    texts = [b"abab", b"ab", b"", b"ababx", b"ab" * 121, b"ab" * 120,
+             b"ab" * 7, b"aab"]
+    data, lens = _pack(texts)
+    fl = np.asarray(eng.forward_flags(data, lens, seeded=False))
+    for i, t in enumerate(texts):
+        want = {e for e in orc.ends(t) if orc.fullmatch(t[:e])}
+        got = {c - 1 for c in np.nonzero(fl[i])[0] if 1 <= c <= lens[i] + 1}
+        assert got == want, (i, got, want)
