@@ -246,3 +246,58 @@ def test_stride_k_unseeded_flags():
         want = {e for e in orc.ends(t) if orc.fullmatch(t[:e])}
         got = {c - 1 for c in np.nonzero(fl[i])[0] if 1 <= c <= lens[i] + 1}
         assert got == want, (i, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Randomized property fuzz: random fixed-length bodies / m / n vs oracle
+# ---------------------------------------------------------------------------
+
+def _rand_body_pattern(rng):
+    """Random (body_regex, alphabet) with k in 1..4 class positions."""
+    k = int(rng.integers(1, 5))
+    classes = ["a", "b", "[ab]", "[a-c]", "[bx]", "c"]
+    parts = [classes[int(rng.integers(0, len(classes)))] for _ in range(k)]
+    body = "".join(parts)
+    m = int(rng.integers(0, 5))
+    style = int(rng.integers(0, 3))
+    if style == 0:
+        n = m + int(rng.integers(0, 40))
+        quant = f"{{{m},{n}}}"
+    elif style == 1:
+        quant = f"{{{max(m,1)},}}"
+    else:
+        quant = f"{{{max(m,1)}}}"
+    pat = f"({body}){quant}" if k > 1 else f"{body}{quant}"
+    return pat
+
+
+def test_stride_k_fuzz_vs_oracle():
+    rng = np.random.default_rng(2024)
+    alphabet = list(b"abcx")
+    tried = 0
+    for trial in range(40):
+        pat = _rand_body_pattern(rng)
+        prog = compile_program(pat)
+        plan = counting_plan(prog)
+        if plan is None:
+            continue
+        tried += 1
+        # fuzz the counting kernels directly, even where ScanEngine would
+        # route a small-S pattern to the (faster) packed matrix tier
+        cs = CountScanner(prog, plan)
+        orc = OracleEngine.compile(pat)
+        texts = [
+            bytes(rng.choice(alphabet, int(rng.integers(0, 200))))
+            for _ in range(10)
+        ] + [b"", b"ab" * 64, b"abc" * 40]
+        data, lens = _pack(texts)
+        cnt, first, _, full, anym = cs.match_stats_b(
+            data, lens.reshape(-1, 1), seeded=True
+        )
+        cnt = np.asarray(cnt).reshape(-1)
+        first = np.asarray(first).reshape(-1)
+        for i, t in enumerate(texts):
+            ends = orc.ends(t)
+            assert int(cnt[i]) == len(ends), (pat, i, t[:24])
+            assert int(first[i]) == (min(ends) if ends else -1), (pat, i)
+    assert tried >= 15, tried  # the generator must mostly hit the plan
