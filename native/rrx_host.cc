@@ -533,6 +533,8 @@ struct RrxScanner {
   std::vector<uint64_t> follow;    // [S][words] follow-row masks
   std::vector<uint64_t> bsym;      // [kNSYM][words] symbol-entry masks
   std::vector<uint64_t> accept;    // [words]
+  std::vector<uint64_t> pred;      // [S][words] transposed follow (for the
+                                   // backward start-viability pass)
 
   bool step(std::vector<uint64_t>& D, std::vector<uint64_t>& scratch,
             int sym) const {
@@ -563,9 +565,11 @@ RrxScanner* rrx_scanner_new(const RrxProgram* p) {
   s->nullable = p->nullable;
   s->words = (size_t)((p->n_states + 63) / 64);
   s->follow.assign((size_t)p->n_states * s->words, 0);
+  s->pred.assign((size_t)p->n_states * s->words, 0);
   for (size_t e = 0; e + 1 < p->edges.size(); e += 2) {
     long i = p->edges[e], j = p->edges[e + 1];
     s->follow[(size_t)i * s->words + (size_t)(j >> 6)] |= 1ull << (j & 63);
+    s->pred[(size_t)j * s->words + (size_t)(i >> 6)] |= 1ull << (i & 63);
   }
   const size_t nbytes = (kNSYM + 7) / 8;
   s->bsym.assign((size_t)kNSYM * s->words, 0);
@@ -642,6 +646,122 @@ long rrx_count_ends(const RrxScanner* s, const uint8_t* text, long n,
     }
   }
   if (first_end) *first_end = first;
+  return cnt;
+}
+
+// Anchored scan from position s: smallest (lazy) / largest (longest) end e
+// such that text[s:e] matches, or -1. Mirrors the oracle's first_end_from /
+// last_end_from (BOS replay + re-inject at s == 0, EOS as final symbol).
+static long anchored_end(const RrxScanner* s, const uint8_t* text, long n,
+                         long start, int longest) {
+  std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
+  D[0] = 1;  // {initial}
+  long best = (s->accept[0] & 1) ? start : -1;  // nullable: empty match
+  if (best >= 0 && !longest) return best;
+  bool bos = start == 0;
+  long total = (bos ? 1 : 0) + (n - start) + 1;  // BOS? + bytes + EOS
+  for (long k = 0; k < total; k++) {
+    long e;
+    int sym;
+    if (bos && k == 0) {
+      sym = kBOS;
+      e = 0;
+    } else {
+      long i = start + k - (bos ? 1 : 0);  // byte index, or n for EOS
+      sym = i < n ? (text[i] < 128 ? text[i] : -1) : kEOS;
+      e = i < n ? i + 1 : n;
+    }
+    if (sym < 0) return best;  // dead byte kills every path from this start
+    bool any = s->step(D, scratch, sym);
+    if (bos && k == 0) {
+      D[0] |= 1;  // position 0 exists on both sides of BOS
+      any = true;
+    }
+    // accept & ~1: state 0 only accepts the empty match, handled above
+    uint64_t hit = D[0] & s->accept[0] & ~1ull;
+    for (size_t w = 1; w < s->words && !hit; w++) hit = D[w] & s->accept[w];
+    if (hit) {
+      if (!longest) return e;
+      best = e;
+    }
+    if (!any) return best;
+  }
+  return best;
+}
+
+// Non-overlapping span enumeration, oracle finditer policy: leftmost
+// start, then shortest end (longest=0, lazy) or longest end (longest=1,
+// greedy POSIX). Fills up to cap spans; returns the TOTAL count (callers
+// re-run with a larger cap when count > cap — the device kernels' fixed
+// -capacity convention). The leftmost viable start comes from one O(n)
+// backward pass over the transposed follow masks (R_t = states whose
+// suffix path reaches accept; start s viable iff follow[0] meets R_{s+1}),
+// so dead stretches of the input cost no anchored rescans.
+long rrx_spans(const RrxScanner* s, const uint8_t* text, long n, int longest,
+               long* starts, long* ends, long cap) {
+  std::vector<uint64_t> viable((size_t)(n + 2 + 63) / 64, 0);
+  if (s->nullable) {
+    // empty match everywhere: every position is a viable start
+    for (long i = 0; i <= n; i++)
+      viable[(size_t)(i >> 6)] |= 1ull << (i & 63);
+  } else {
+    std::vector<uint64_t> R(s->words, 0), P(s->words, 0);
+    // stream steps t = n+1 (EOS) down to 1; R = R_t after each iteration
+    for (long t = n + 1; t >= 1; t--) {
+      int sym = t == n + 1 ? kEOS
+                           : (text[t - 1] < 128 ? (int)text[t - 1] : -1);
+      if (sym < 0) {
+        std::fill(R.begin(), R.end(), 0);
+      } else {
+        std::fill(P.begin(), P.end(), 0);
+        for (size_t w = 0; w < s->words; w++) {
+          uint64_t x = R[w];
+          while (x) {
+            long j = (long)(w * 64 + (size_t)__builtin_ctzll(x));
+            x &= x - 1;
+            const uint64_t* row = &s->pred[(size_t)j * s->words];
+            for (size_t k = 0; k < s->words; k++) P[k] |= row[k];
+          }
+        }
+        const uint64_t* b = &s->bsym[(size_t)sym * s->words];
+        for (size_t k = 0; k < s->words; k++)
+          R[k] = (P[k] | s->accept[k]) & b[k];
+      }
+      uint64_t meet = 0;  // start s = t-1 viable iff follow[0] meets R_t
+      for (size_t k = 0; k < s->words; k++) meet |= s->follow[k] & R[k];
+      if (meet)
+        viable[(size_t)((t - 1) >> 6)] |= 1ull << ((t - 1) & 63);
+    }
+    // s = 0 consumes BOS first (^-anchored paths): direct probe
+    if (anchored_end(s, text, n, 0, 0) >= 0)
+      viable[0] |= 1;
+    else
+      viable[0] &= ~1ull;
+  }
+  long pos = 0, cnt = 0;
+  while (pos <= n) {
+    long st = -1;
+    for (long w = pos >> 6; w < (long)viable.size(); w++) {
+      uint64_t x = viable[(size_t)w];
+      if (w == (pos >> 6)) x &= ~0ull << (pos & 63);
+      if (x) {
+        st = w * 64 + (long)__builtin_ctzll(x);
+        break;
+      }
+    }
+    if (st < 0 || st > n) break;
+    long e = anchored_end(s, text, n, st, longest);
+    if (e < 0) {  // stale viability (cannot happen; guard anyway)
+      pos = st + 1;
+      continue;
+    }
+    if (cnt < cap) {
+      starts[cnt] = st;
+      ends[cnt] = e;
+    }
+    cnt++;
+    pos = e > st ? e : st + 1;
+  }
   return cnt;
 }
 

@@ -132,9 +132,9 @@ def main(argv=None) -> int:
         # Self-contained native CPU scan (native/rrx_host.cc RrxScanner):
         # no JAX/device runtime is initialized at all on this path — the
         # librregex.a capability of the reference.
-        if len(patterns) > 1 or args.only_spans or args.long:
+        if len(patterns) > 1 or args.long:
             print(
-                "rrx: --backend host takes a single pattern, no -o/--long",
+                "rrx: --backend host takes a single pattern, no --long",
                 file=sys.stderr,
             )
             return 2
@@ -160,9 +160,16 @@ def main(argv=None) -> int:
             n_lines += len(lines)
             for ln_no, line in enumerate(lines):
                 n_bytes += len(line)
-                hit = (
-                    he.fullmatch(line) if args.fullmatch else he.search(line)
-                )
+                spans = None
+                if args.only_spans:
+                    spans = he.finditer(line, longest=args.greedy)
+                    hit = bool(spans)
+                else:
+                    hit = (
+                        he.fullmatch(line)
+                        if args.fullmatch
+                        else he.search(line)
+                    )
                 if args.invert_match:
                     hit = not hit
                 if hit:
@@ -171,7 +178,11 @@ def main(argv=None) -> int:
                         prefix = f"{src}:" if many_files else ""
                         if args.line_number:
                             prefix += f"{ln_no + 1}:"
-                        print(prefix + line.decode("ascii", "replace"))
+                        if spans is not None:
+                            body = " ".join(f"{s}-{e}" for s, e in spans)
+                        else:
+                            body = line.decode("ascii", "replace")
+                        print(prefix + body)
         if counts_only:
             print(n_match)
         if args.stats:

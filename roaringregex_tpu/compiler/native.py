@@ -102,6 +102,11 @@ def _load() -> Optional[ct.CDLL]:
         lib.rrx_count_ends.argtypes = [
             ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_void_p,
         ]
+        lib.rrx_spans.restype = ct.c_long
+        lib.rrx_spans.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_int,
+            ct.c_void_p, ct.c_void_p, ct.c_long,
+        ]
         _lib = lib
         return _lib
 
@@ -297,3 +302,24 @@ class HostEngine:
 
     def search(self, text) -> bool:
         return self.count_ends(text) > 0
+
+    def finditer(self, text, *, longest: bool = False):
+        """Non-overlapping spans, oracle finditer policy: leftmost start,
+        shortest end (lazy) or ``longest=True`` leftmost-longest (greedy
+        POSIX) — all on the host, no device runtime."""
+        b = self._buf(text)
+        cap = 64
+        while True:
+            starts = (ct.c_long * cap)()
+            ends = (ct.c_long * cap)()
+            n = int(
+                self._lib.rrx_spans(
+                    self._scan, b, len(b), int(longest), starts, ends, cap
+                )
+            )
+            if n <= cap:
+                return [(int(starts[i]), int(ends[i])) for i in range(n)]
+            cap = n  # exact total: one re-run always suffices
+
+    def findall(self, text, *, longest: bool = False):
+        return self.finditer(text, longest=longest)

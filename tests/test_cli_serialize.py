@@ -187,7 +187,15 @@ def test_cli_host_backend():
     assert out.splitlines() == ["all good", "ERROR caps"]
     code, _, err = _run_cli(["--backend", "host", "a{3,1}"], LINES)
     assert code == 2 and "invalid pattern" in err
-    code, _, err = _run_cli(["--backend", "host", "-o", "err"], LINES)
+    # -o spans on the host engine (lazy policy, device-path format)
+    code, out, _ = _run_cli(["--backend", "host", "-n", "-o", "err"], LINES)
+    assert code == 0
+    assert out.splitlines() == ["1:0-3", "3:8-11"]
+    code, out, _ = _run_cli(
+        ["--backend", "host", "-o", "--greedy", "er+"], LINES
+    )
+    assert code == 0 and out.splitlines() == ["0-3", "5-7 8-11 15-17"]
+    code, _, err = _run_cli(["--backend", "host", "--long", "err"], LINES)
     assert code == 2
 
 

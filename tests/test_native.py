@@ -178,3 +178,59 @@ def test_host_engine_non_ascii_dead():
     assert not he.fullmatch(b"a\xffc")  # bytes >= 0x80 are dead symbols
     assert he.fullmatch(b"abc")
     assert he.search(b"zz a~c zz")
+
+
+def test_host_engine_spans_oracle_parity():
+    """rrx_spans (backward viability + anchored rescan) must reproduce the
+    oracle finditer policy exactly, lazy and greedy."""
+    from roaringregex_tpu.compiler.native import HostEngine
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    pats = ["cat|dog", "ab*", "a{2,5}", "(ab)+", "^ab", "ab$", "^a*$",
+            "a.b", "x?", "(a|b)*c", "^", "$", "[^a]b", "(ab){2,6}", ".*"]
+    for pattern in pats:
+        he = HostEngine(pattern)
+        orc = OracleEngine.compile(pattern)
+        for text in _host_texts():
+            for longest in (False, True):
+                want = list(orc.finditer(text, longest=longest))
+                got = he.finditer(text, longest=longest)
+                assert got == want, (pattern, longest, text)
+
+
+def test_host_engine_spans_fuzz():
+    from roaringregex_tpu.compiler.native import HostEngine
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    rng = np.random.default_rng(23)
+    atoms = list("abcx.") + ["[a-c]", "[^b]", "(ab)", "(a|b)", "^", "$"]
+    quants = ["", "*", "+", "?", "{2}", "{1,3}"]
+    for _ in range(50):
+        n = int(rng.integers(1, 5))
+        pattern = "".join(
+            atoms[int(rng.integers(0, len(atoms)))]
+            + quants[int(rng.integers(0, len(quants)))]
+            for _ in range(n)
+        )
+        try:
+            he = HostEngine(pattern)
+        except RegexSyntaxError:
+            continue
+        orc = OracleEngine.compile(pattern)
+        for _ in range(8):
+            ln = int(rng.integers(0, 14))
+            text = bytes(rng.choice(list(b"abcx"), ln).astype(np.uint8))
+            for longest in (False, True):
+                want = list(orc.finditer(text, longest=longest))
+                got = he.finditer(text, longest=longest)
+                assert got == want, (pattern, longest, text)
+
+
+def test_host_engine_spans_cap_regrow():
+    """Exact total count drives the one-shot capacity regrow (> 64 spans)."""
+    from roaringregex_tpu.compiler.native import HostEngine
+
+    he = HostEngine("a")
+    text = b"a" * 200
+    spans = he.finditer(text)
+    assert spans == [(i, i + 1) for i in range(200)]
