@@ -663,8 +663,172 @@ class FastLongScanner:
         return bool(self._run(text, False, "full"))
 
 
+class CountLongScanner:
+    """One-long-string scan for counting-plan patterns (fixed-length-body
+    ``X{m,n}``: ``a{1,300}``, ``(ab){2,600}``, ...).
+
+    The seeded accept test at stream position t depends only on the last
+    ``m*k`` bytes (m body copies of length k), so the string splits into
+    ``block``-byte windows that each re-scan ``lead = m*k`` context bytes
+    owned by the previous window and are then EXACT — one batched pass
+    through the run-length kernels (CountScanner) at full counting-tier
+    rate. No summaries, no matrix tiers, no S-dependence: this covers the
+    family the reference's broken Roaring tier targets (Parser.cpp:165-168)
+    on inputs of one huge string, including unbounded ``X{m,}`` whose
+    cyclic follow graph rules out the FastLongScanner overlapped mode.
+
+    Fullmatch has a closed form (length j*k with m <= j <= n and every
+    byte in its phase class) — no scan at all."""
+
+    def __init__(self, prog: DeviceProgram, plan, block: int = 32768):
+        from . import scan_pallas as spl
+
+        self.prog = prog
+        self.m, self.n, self.body = plan
+        self.k = len(self.body)
+        mm = max(self.m, 1)
+        self.lead = mm * self.k
+        self.block = max(block, -(-4 * self.lead // 128) * 128)
+        # duck-types FastLongScanner for Pattern.finditer_long candidate
+        # starts (bounded-horizon patterns only; checked there via horizon)
+        self.overlap = self.lead
+        self.cs = spl.CountScanner(prog, plan)
+
+    # -- window layout ------------------------------------------------------
+    def _win(self, data, n: int, right: bool):
+        """[nw, Lw] overlapped windows + [nw] lens. ``right=False``: window
+        w = ext[w*blk : w*blk + lead + blk] with ``lead`` left-context bytes
+        (0x80 dead filler before the stream start). ``right=True``: window
+        w = data[w*blk : w*blk + blk + lead] (right context, reverse pass).
+        Built from shifted reshapes — no device gathers."""
+        blk, lead = self.block, self.lead
+        nw = max(1, -(-n // blk))
+        Lw = lead + blk
+        nseg = -(-Lw // blk) + 1
+        ext_len = (nw + nseg) * blk
+        ext = jnp.full(ext_len, 128, jnp.uint8)  # 0x80 = dead symbol
+        off = 0 if right else lead
+        ext = jax.lax.dynamic_update_slice(ext, data, (off,))
+        segs = [
+            ext[i * blk : (i + nw) * blk].reshape(nw, blk)
+            for i in range(nseg)
+        ]
+        win = jnp.concatenate(segs, axis=1)[:, :Lw]
+        w = jnp.arange(nw, dtype=jnp.int32) * blk
+        real = jnp.clip(n - w, 0, blk)
+        lens = (lead + real) if not right else jnp.minimum(n - w, blk + lead)
+        return win, lens.astype(jnp.int32), nw
+
+    # -- fused stats ---------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _stats_impl(self, data, *, n: int):
+        win, lens, nw = self._win(data, n, right=False)
+        cnt, first, last, _, _ = self.cs.match_stats_b(
+            win, lens.reshape(-1, 1), seeded=True, lead=self.lead
+        )
+        cnt = cnt.reshape(-1)[:nw]
+        first = first.reshape(-1)[:nw]
+        last = last.reshape(-1)[:nw]
+        off = jnp.arange(nw, dtype=jnp.int32) * self.block - self.lead
+        big = jnp.iinfo(jnp.int32).max
+        gfirst = jnp.min(jnp.where(first >= 0, first + off, big))
+        glast = jnp.max(jnp.where(last >= 0, last + off, -1))
+        total = jnp.sum(cnt)
+        return total, jnp.where(total > 0, gfirst, -1), glast
+
+    @staticmethod
+    def _data(text):
+        if isinstance(text, (bytes, bytearray)):
+            return jnp.asarray(np.frombuffer(text, np.uint8)), len(text)
+        return jnp.asarray(text), int(text.shape[0])
+
+    def long_stats(self, text):
+        """(count, first_end, last_end) over the whole string, one batched
+        device pass."""
+        data, n = self._data(text)
+        if self.prog.nullable:  # empty match at every position
+            return n + 1, 0, n
+        if n == 0:
+            return 0, -1, -1
+        total, first, last = self._stats_impl(data, n=n)
+        return int(total), int(first), int(last)
+
+    def count_ends(self, text) -> int:
+        return self.long_stats(text)[0]
+
+    def search(self, text) -> bool:
+        return self.count_ends(text) > 0
+
+    def fullmatch(self, text) -> bool:
+        data, n = self._data(text)
+        if n == 0:
+            return bool(self.prog.nullable)
+        k, mm = self.k, max(self.m, 1)
+        j = n // k
+        if n % k or j < mm or (self.n and j > self.n):
+            return False
+        from .scan_pallas import _in_class
+
+        ok = jnp.bool_(True)
+        for q in range(k):
+            d = data[q::k].astype(jnp.int32)
+            ok = ok & jnp.all(_in_class(d, self.body[q]))
+        return bool(ok)
+
+    # -- bitmaps (ends / candidate starts over the global stream) ----------
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _ends_impl(self, data, *, n: int):
+        win, lens, nw = self._win(data, n, right=False)
+        fl = self.cs.forward_flags_b(
+            win, lens.reshape(-1, 1), seeded=True
+        )  # [nw, Lw + 3] bool, column c = accept at step tg = c - 1
+        lead, blk = self.lead, self.block
+        # window-local ends e = tg in (lead, lead + blk] own the global
+        # positions w*blk + (e - lead); column c = e + 1
+        return fl[:nw, lead + 2 : lead + 2 + blk].reshape(-1)[: max(n, 1)]
+
+    def ends_bitmap(self, text) -> np.ndarray:
+        """[n+1] bool; bit e = some match ends at e."""
+        data, n = self._data(text)
+        if self.prog.nullable:
+            return np.ones(n + 1, bool)
+        out = np.zeros(n + 1, bool)
+        if n:
+            out[1:] = np.asarray(self._ends_impl(data, n=n))[:n]
+        return out
+
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _starts_impl(self, data, *, n: int):
+        win, lens, nw = self._win(data, n, right=True)
+        h = self.cs.reverse_hits_b(
+            win, lens.reshape(-1, 1)
+        )  # [nw, T] bool, step tg = a match starts at window byte tg-1
+        return h[:nw, 1 : 1 + self.block].reshape(-1)[: max(n, 1)]
+
+    def starts_bitmap(self, text) -> np.ndarray:
+        """[n+1] bool; bit s = some match starts at s (candidate starts
+        for span extraction, Pattern.finditer_long)."""
+        data, n = self._data(text)
+        if self.prog.nullable:
+            return np.ones(n + 1, bool)
+        out = np.zeros(n + 1, bool)
+        if n:
+            out[:n] = np.asarray(self._starts_impl(data, n=n))[:n]
+        return out
+
+
 def make_long_scanner(prog: DeviceProgram, block: int = 16384):
-    """Best available long-string scanner for this program."""
+    """Best available long-string scanner for this program: run-length
+    windows for counting-plan patterns on the one-record-per-row tiers,
+    packed overlapped/summary kernels for dense tiers, portable XLA
+    otherwise."""
+    from . import scan_pallas as spl
+
+    plan = spl.counting_plan(prog)
+    if plan is not None and prog.G <= 1:
+        m, _, body = plan
+        if max(m, 1) * len(body) <= 1 << 16:
+            return CountLongScanner(prog, plan, block=max(block, 32768))
     if prog.F is not None and prog.s_tile <= 32:
         return FastLongScanner(prog, block=block)
     return LongScanner(prog, block=min(block, 4096))

@@ -3311,12 +3311,18 @@ def _count_match_kernel(
     n: int,
     body_runs,
     T_chunk: int,
+    lead: int = 0,
 ):
     """Counting-tier scan: per-step state is one int32 run length per
     record — r' = occ(body ends here) ? min(r[t-k]+1, cap) : 0, accept iff
     r >= m, where k = len(body). Body occurrence is tracked with k-1
     rolling prefix bits; for k == 1 this degenerates to the single-class
-    X-run recurrence. Stats accumulation mirrors _match_kernel_b."""
+    X-run recurrence. Stats accumulation mirrors _match_kernel_b.
+
+    ``lead``: ignore accepts at tg <= lead — the overlapped-window gate of
+    the one-long-string mode (CountLongScanner): each window re-scans
+    ``lead`` = m*k context bytes owned by the previous window, which is
+    the exact horizon of the seeded accept test."""
     j = pl.program_id(1)
     nT = pl.num_programs(1)
     lens = len_ref[:]
@@ -3373,6 +3379,8 @@ def _count_match_kernel(
                 fl = fl & (tg % k == 0)
             if n:
                 fl = fl & (tg <= n * k)
+        if lead:
+            fl = fl & (tg > lead)
         e = jnp.minimum(tg, lens)
         if not (nullable and seeded):
             new = fl & (e != last_s[:])
@@ -3555,13 +3563,13 @@ class CountScanner:
         )
 
     # -- match stats -------------------------------------------------------
-    def match_stats_b(self, data, len_g, *, seeded: bool):
+    def match_stats_b(self, data, len_g, *, seeded: bool, lead: int = 0):
         data, lg, B_rows, B = self._pack32(data, len_g)
         L = data.shape[1]
         T, T_pad, B_pad, B_blk, T_chunk = self._geom(L, B_rows)
         lenT = self._lenT(lg, B_pad)
         cnt, first, last, full = self._match_call(
-            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk
+            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, lead
         )
         sl = lambda x: (
             jnp.transpose(x[:, :B_rows], (1, 0)).reshape(-1)[:B].reshape(B, 1)
@@ -3572,10 +3580,13 @@ class CountScanner:
     @functools.partial(
         jax.jit,
         static_argnames=(
-            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk"
+            "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk",
+            "lead",
         ),
     )
-    def _match_call(self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk):
+    def _match_call(
+        self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, lead=0
+    ):
         GC = self.GC
         tm = _time_major(data, GC, L, T_pad, B_pad, 1)
         nB, nT = B_pad // B_blk, T_pad // T_chunk
@@ -3587,6 +3598,7 @@ class CountScanner:
             n=self.n,
             body_runs=self.body,
             T_chunk=T_chunk,
+            lead=lead,
         )
         gspec = pl.BlockSpec(
             (GC, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM

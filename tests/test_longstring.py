@@ -81,8 +81,14 @@ def test_make_long_scanner_dispatch():
         FastLongScanner, LongScanner, make_long_scanner,
     )
 
+    from roaringregex_tpu.ops.longstring import CountLongScanner
+
     assert isinstance(make_long_scanner(compile_program("cat|dog")), FastLongScanner)
-    assert isinstance(make_long_scanner(compile_program("a{1,300}")), LongScanner)
+    # counting-plan patterns on one-record-per-row tiers: run-length windows
+    assert isinstance(make_long_scanner(compile_program("a{1,300}")), CountLongScanner)
+    assert isinstance(make_long_scanner(compile_program("(ab){2,600}")), CountLongScanner)
+    # big-S patterns with no counting plan: portable path
+    assert isinstance(make_long_scanner(compile_program("a{140}b{150}")), LongScanner)
 
 
 def test_pattern_long_api():
@@ -187,3 +193,84 @@ def test_finditer_long_cyclic_raises():
 
     with pytest.raises(ValueError, match="bounded-horizon"):
         rrx.Pattern("(ab)*c").finditer_long(b"ababc")
+
+
+# ---------------------------------------------------------------------------
+# CountLongScanner: run-length overlapped windows for counting-plan patterns
+# ---------------------------------------------------------------------------
+
+
+def _blob(rng, n, alphabet=b"aabx"):
+    return bytes(rng.choice(list(alphabet), n).astype(np.uint8))
+
+
+@pytest.mark.parametrize(
+    "pattern", ["a{2,5}", "a{3,}", "(ab){2,4}", "[a-c]{2,6}", "(ab){3,}", "a{4}"]
+)
+def test_count_long_oracle_parity(pattern):
+    """Stats and bitmaps across window boundaries must match the oracle
+    (tiny 128-byte windows force many boundary crossings)."""
+    from roaringregex_tpu.ops.longstring import CountLongScanner
+    from roaringregex_tpu.ops.scan_pallas import counting_plan
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    prog = compile_program(pattern)
+    plan = counting_plan(prog)
+    assert plan is not None
+    sc = CountLongScanner(prog, plan, block=128)
+    orc = OracleEngine.compile(pattern)
+    rng = np.random.default_rng(17)
+    texts = [
+        _blob(rng, 700), _blob(rng, 513, b"ab"), _blob(rng, 400, b"abc"),
+        b"a" * 500, b"ab" * 250, b"", b"a", b"ab", (b"a" * 7 + b"x") * 40,
+    ]
+    for t in texts:
+        ends = orc.ends(t)
+        cnt, first, last = sc.long_stats(t)
+        assert cnt == len(ends), (pattern, len(t), cnt, len(ends))
+        assert first == (min(ends) if ends else -1), (pattern, len(t))
+        assert last == (max(ends) if ends else -1), (pattern, len(t))
+        assert sc.count_ends(t) == len(ends)
+        assert sc.search(t) == bool(ends)
+        assert sc.fullmatch(t) == orc.fullmatch(t), (pattern, t[:24])
+        eb = sc.ends_bitmap(t)
+        assert set(np.nonzero(eb)[0]) == ends, (pattern, len(t))
+        sb = sc.starts_bitmap(t)
+        assert set(np.nonzero(sb)[0]) == orc.starts(t), (pattern, len(t))
+
+
+def test_count_long_finditer():
+    """finditer_long routes candidate starts through CountLongScanner's
+    reverse windows for bounded-horizon counting patterns."""
+    import roaringregex_tpu as rrx
+    from roaringregex_tpu.ops.longstring import CountLongScanner
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    pat = rrx.Pattern("a{1,300}")
+    assert isinstance(pat.long, CountLongScanner)
+    rng = np.random.default_rng(19)
+    blob = (b"a" * 500 + b"x") * 3 + b"a" * 20 + _blob(rng, 800)
+    orc = OracleEngine.compile("a{1,300}")
+    assert pat.long.count_ends(blob) == len(orc.ends(blob))
+    for longest in (False, True):
+        got = pat.finditer_long(blob, longest=longest)
+        want = list(orc.finditer(blob, longest=longest))
+        assert got == want, (longest, got[:4], want[:4])
+
+
+def test_count_long_unbounded_cyclic_stats():
+    """X{m,} has a cyclic follow graph (no FastLongScanner overlapped
+    mode), but the counting windows stay exact; spans still raise."""
+    import roaringregex_tpu as rrx
+    from roaringregex_tpu.ops.longstring import CountLongScanner
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    pat = rrx.Pattern("(ab){130,}")
+    assert isinstance(pat.long, CountLongScanner)
+    blob = b"ab" * 400 + b"x" + b"ab" * 200
+    orc = OracleEngine.compile("(ab){130,}")
+    assert pat.long.count_ends(blob) == len(orc.ends(blob))
+    assert pat.long.fullmatch(b"ab" * 300)
+    assert not pat.long.fullmatch(b"ab" * 129)
+    with pytest.raises(ValueError, match="bounded-horizon"):
+        pat.finditer_long(blob)
