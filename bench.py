@@ -122,10 +122,13 @@ CONFIGS = {
             spans=True),
     8: dict(pattern="cat|dog", rec_len=0, name="ONE long string (seq-parallel)",
             longstr=True),
+    9: dict(pattern="a{1,300}", rec_len=0,
+            name="ONE long string, bounded-rep (counting windows)",
+            longstr=True),
 }
 
 
-def bench_spans(pattern: str, data, lengths, *, iters: int = 6, pipeline: int = 48):
+def bench_spans(pattern: str, data, lengths, *, iters: int = 6, pipeline: int = 96):
     """Config 7: full lazy span enumeration on device (reverse pass + span
     kernel + compaction), O(1) dispatches per batch."""
     import jax
@@ -227,9 +230,13 @@ def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
     n = len(text)
     prog = compile_program(pattern)
     sc = make_long_scanner(prog)
-    mode = (
-        "overlapped" if getattr(sc, "overlap", None) is not None else "summary"
-    )
+    mode = {
+        "FastLongScanner": (
+            "overlapped" if getattr(sc, "overlap", None) is not None
+            else "summary"
+        ),
+        "CountLongScanner": "counting",
+    }.get(type(sc).__name__, "portable")
     d = jax.device_put(jnp.asarray(text))
     t0 = time.perf_counter()
     total = int(sc.count_ends(d))
@@ -249,7 +256,7 @@ def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
 
 
 def bench_sharded(pattern: str, data, lengths, *, iters: int = 6,
-                  pipeline: int = 64):
+                  pipeline: int = 96):
     """Config 5: DistScanner over the full device mesh (tables replicated,
     records sharded, stats psum-reduced). On this 1-chip environment the
     mesh has a single device; the multi-chip path itself is validated by

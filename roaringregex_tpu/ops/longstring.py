@@ -753,6 +753,13 @@ class CountLongScanner:
         total, first, last = self._stats_impl(data, n=n)
         return int(total), int(first), int(last)
 
+    def _run(self, text, seeded: bool, mode: str):
+        """Device-value variant for pipelined callers (bench harness):
+        returns the un-synced scalar so K scans can be in flight."""
+        data, n = self._data(text)
+        total, _, _ = self._stats_impl(data, n=n)
+        return total if mode == "count" else total > 0
+
     def count_ends(self, text) -> int:
         return self.long_stats(text)[0]
 
@@ -824,8 +831,12 @@ def make_long_scanner(prog: DeviceProgram, block: int = 16384):
     otherwise."""
     from . import scan_pallas as spl
 
+    # counting-plan patterns always prefer the run-length windows in long
+    # mode: unlike the batched engine there is no G-lane packing edge for
+    # the matrix kernels here, and X{m,} (cyclic) would otherwise fall to
+    # the far slower summary/portable paths
     plan = spl.counting_plan(prog)
-    if plan is not None and prog.G <= 1:
+    if plan is not None:
         m, _, body = plan
         if max(m, 1) * len(body) <= 1 << 16:
             return CountLongScanner(prog, plan, block=max(block, 32768))

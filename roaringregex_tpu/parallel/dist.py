@@ -373,6 +373,25 @@ class DistScanner:
         return int(out.sum())
 
     # -- kernel-rate sharded long string (overlapped windows) -------------
+    def _long_count_scanner(self):
+        """CountLongScanner for the sharded run-length window path, or
+        None when the pattern has no counting plan (mirrors the
+        make_long_scanner routing for one-record-per-row tiers)."""
+        cls = getattr(self, "_cls", None)
+        if cls is None:
+            from ..ops import scan_pallas as spl
+            from ..ops.longstring import CountLongScanner
+
+            plan = spl.counting_plan(self.prog)
+            cls = False
+            if (
+                plan is not None
+                and max(plan[0], 1) * len(plan[2]) <= 1 << 16
+            ):
+                cls = CountLongScanner(self.prog, plan)
+            self._cls = cls
+        return cls or None
+
     def _long_fast_scanner(self):
         """FastLongScanner for the overlapped sharded path, or None when
         the pattern/tier doesn't support it (cyclic horizon, wide tiles)."""
@@ -409,24 +428,79 @@ class DistScanner:
         )
         if self.prog.nullable:
             return n + 1 if mode == "count" else True
+        data0 = (
+            jnp.asarray(np.frombuffer(text_bytes, np.uint8))
+            if isinstance(text_bytes, (bytes, bytearray))
+            else jnp.asarray(text_bytes)
+        )
+        cls = self._long_count_scanner()
+        if cls is not None and n > 0:
+            # counting-plan patterns: run-length windows sharded over the
+            # data axis, one psum (no EOS tail — counting accepts are
+            # byte-step only)
+            rep = NamedSharding(self.mesh, P())
+            total = self._long_count_spmd(
+                jax.device_put(data0, rep), n=n, cls=cls
+            )
+            return int(total) if mode == "count" else bool(int(total) > 0)
         fls = self._long_fast_scanner()
         if fls is None:
             if mode == "count":
                 return self.long_count(text_bytes)
             flags = self.long_flags(text_bytes, seeded=True)
             return bool((flags[: n + 2] > 0).any())
-        data = (
-            jnp.asarray(np.frombuffer(text_bytes, np.uint8))
-            if isinstance(text_bytes, (bytes, bytearray))
-            else jnp.asarray(text_bytes)
-        )
         rep = NamedSharding(self.mesh, P())
         total, tail = self._long_stats_spmd(
-            jax.device_put(data, rep), n=n, fls=fls
+            jax.device_put(data0, rep), n=n, fls=fls
         )
         if mode == "count":
             return int(total) + int(bool(tail))
         return bool(int(total) > 0 or bool(tail))
+
+    @functools.partial(jax.jit, static_argnames=("self", "n", "cls"))
+    def _long_count_spmd(self, data, *, n: int, cls):
+        """Sharded counting windows: each device owns nw_dev windows of
+        ``cls.block`` payload bytes (+ ``cls.lead`` re-scanned context),
+        runs the run-length kernels locally, and ONE psum reduces the
+        match-end counts — the whole scan is a single SPMD program."""
+        blk, lead = cls.block, cls.lead
+        D = self.mesh.devices.size
+        Lw = lead + blk
+        nw = max(1, -(-n // blk))
+        nw_dev = -(-nw // D)
+        nseg = -(-Lw // blk) + 1
+        ext_len = (D * nw_dev + nseg) * blk
+        ext = jnp.full(ext_len, 128, jnp.uint8)  # 0x80 = dead filler
+        ext = jax.lax.dynamic_update_slice(ext, data, (lead,))
+        axis = self.axis
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(),),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def _go(ext_rep):
+            w0 = jax.lax.axis_index(axis).astype(jnp.int32) * nw_dev
+            seg = jax.lax.dynamic_slice(
+                ext_rep, (w0 * blk,), ((nw_dev + nseg) * blk,)
+            )
+            win = jnp.concatenate(
+                [
+                    seg[i * blk : (i + nw_dev) * blk].reshape(nw_dev, blk)
+                    for i in range(nseg)
+                ],
+                axis=1,
+            )[:, :Lw]
+            w = w0 + jnp.arange(nw_dev, dtype=jnp.int32)
+            lens = lead + jnp.clip(n - w * blk, 0, blk)
+            cnt, _, _, _, _ = cls.cs.match_stats_b(
+                win, lens.reshape(-1, 1), seeded=True, lead=lead
+            )
+            return jax.lax.psum(jnp.sum(cnt), axis)
+
+        return _go(ext)
 
     @functools.partial(jax.jit, static_argnames=("self", "n", "fls"))
     def _long_stats_spmd(self, data, *, n: int, fls):

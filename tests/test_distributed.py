@@ -176,3 +176,27 @@ def test_long_stats_sharded_kernel_rate(mesh):
         assert ds.long_stats(t2, mode="count") == len(orc.ends(t2))
     finally:
         set_config(base)
+
+
+def test_long_stats_sharded_counting(mesh):
+    """Counting-plan patterns over ONE sharded long string: run-length
+    windows split over the data axis, one psum — vs the oracle, including
+    unbounded X{m,} (cyclic, no overlapped matrix mode) and windows that
+    straddle device boundaries (tiny blocks)."""
+    rng = np.random.default_rng(29)
+    blobs = [
+        (b"a" * 500 + b"x") * 4 + b"a" * 31,
+        b"ab" * 1500,
+        bytes(rng.choice(list(b"aabx"), 7000).astype(np.uint8)),
+        b"a",
+    ]
+    for pat in ("a{1,300}", "(ab){2,600}", "a{3,}", "[ab]{2,9}"):
+        ds = DistScanner(compile_program(pat), mesh)
+        cls = ds._long_count_scanner()
+        assert cls is not None, pat
+        cls.block = 256  # force windows across all 8 devices
+        orc = OracleEngine.compile(pat)
+        for t in blobs:
+            want = len(orc.ends(t))
+            assert ds.long_stats(t, mode="count") == want, (pat, len(t))
+            assert ds.long_stats(t, mode="any") == (want > 0), (pat, len(t))
