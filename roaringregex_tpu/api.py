@@ -311,6 +311,12 @@ class Pattern:
         n = len(data)
         lam = self.program.horizon
         sc = self.long
+        if not self.program.nullable and hasattr(sc, "spans"):
+            # counting-plan patterns: closed-form non-overlap enumeration
+            # (a lazy match is exactly m body copies, a greedy one
+            # min(copies, n)) — works for unbounded X{m,} too, where no
+            # finite horizon exists for the generic candidate path
+            return sc.spans(data, longest=longest)
         if lam is None or getattr(sc, "overlap", None) is None:
             raise ValueError(
                 "finditer_long needs a bounded-horizon (acyclic) pattern; "

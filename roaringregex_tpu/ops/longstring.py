@@ -823,6 +823,67 @@ class CountLongScanner:
             out[:n] = np.asarray(self._starts_impl(data, n=n))[:n]
         return out
 
+    # -- closed-form span extraction ----------------------------------------
+    def _copies_from(self, arr: np.ndarray) -> np.ndarray:
+        """[n] int64: number of consecutive body copies starting at each
+        position (run-length analysis, no scan kernels)."""
+        n = arr.shape[0]
+        k = self.k
+        occ = np.ones(max(n - k + 1, 0), bool)
+        for q, runs in enumerate(self.body):
+            a = arr[q : q + occ.shape[0]]
+            ok = np.zeros_like(occ)
+            for lo, hi in runs:
+                ok |= (a >= lo) & (a <= hi)
+            occ &= ok
+        C = np.zeros(n + k, np.int64)  # C[s] = occ[s] ? 1 + C[s+k] : 0
+        for r in range(k):  # suffix recurrence, vectorized per phase
+            o = occ[r::k] if r < occ.shape[0] else np.zeros(0, bool)
+            m = o.shape[0]
+            if not m:
+                continue
+            # run length to the right within the phase: distance to the
+            # next False (nxt is sorted; searchsorted finds it per index)
+            nxt = np.where(~o)[0]
+            if len(nxt):
+                pos = np.searchsorted(nxt, np.arange(m), side="left")
+                safe = np.minimum(pos, len(nxt) - 1)
+                bound = np.where(pos < len(nxt), nxt[safe], m)
+            else:
+                bound = np.full(m, m, np.int64)
+            C[r::k][:m] = bound - np.arange(m)
+        return C[:n]
+
+    def spans(self, text, *, longest: bool = False):
+        """Non-overlapping spans (oracle finditer policy) in closed form:
+        a lazy match from start s is always exactly m body copies, a
+        greedy one min(copies(s), n) copies — so the whole enumeration is
+        a host walk over the copies array. Works for unbounded ``X{m,}``
+        too (no finite horizon needed). Nullable patterns fall back to
+        the generic per-candidate path (Pattern.finditer_long handles
+        them before calling this)."""
+        assert not self.prog.nullable, "nullable spans handled by caller"
+        if isinstance(text, (bytes, bytearray)):
+            arr = np.frombuffer(text, np.uint8)
+        else:
+            arr = np.asarray(text, np.uint8)
+        n = arr.shape[0]
+        k, mm = self.k, max(self.m, 1)
+        C = self._copies_from(arr)
+        starts = np.where(C >= mm)[0]
+        out = []
+        p = 0
+        i = 0
+        M = starts.shape[0]
+        while i < M:
+            s = int(starts[i])
+            cap = int(C[s]) if not self.n else min(int(C[s]), self.n)
+            e = s + (cap if longest else mm) * k
+            out.append((s, e))
+            p = e
+            i = int(np.searchsorted(starts, p, side="left"))
+        return out
+
 
 def make_long_scanner(prog: DeviceProgram, block: int = 16384):
     """Best available long-string scanner for this program: run-length

@@ -7,8 +7,14 @@ XLA CPU backend / Pallas interpret mode, and multi-chip sharding tests use
 override via jax.config *before* the backend initializes.
 """
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Isolate the persistent XLA compile cache per test run: concurrent
+# writers can corrupt a shared cache file, and a corrupted entry
+# SEGFAULTS jax on read (observed 2026-08-18). Tests compile fast on CPU;
+# cross-run reuse is not worth the hazard.
+os.environ["RRX_COMPILE_CACHE"] = tempfile.mkdtemp(prefix="rrx_jax_test_")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +24,19 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_state():
+    """Drop jit/executable caches after each test module: the XLA CPU
+    compiler has been observed to segfault late in a long single-process
+    run (hundreds of accumulated executables), and per-module clearing
+    bounds that state at negligible recompile cost."""
+    yield
+    gc.collect()
+    jax.clear_caches()

@@ -260,7 +260,8 @@ def test_count_long_finditer():
 
 def test_count_long_unbounded_cyclic_stats():
     """X{m,} has a cyclic follow graph (no FastLongScanner overlapped
-    mode), but the counting windows stay exact; spans still raise."""
+    mode, no finite horizon), but the counting windows stay exact and the
+    closed-form span enumeration still works."""
     import roaringregex_tpu as rrx
     from roaringregex_tpu.ops.longstring import CountLongScanner
     from roaringregex_tpu.oracle.engine import OracleEngine
@@ -272,5 +273,34 @@ def test_count_long_unbounded_cyclic_stats():
     assert pat.long.count_ends(blob) == len(orc.ends(blob))
     assert pat.long.fullmatch(b"ab" * 300)
     assert not pat.long.fullmatch(b"ab" * 129)
-    with pytest.raises(ValueError, match="bounded-horizon"):
-        pat.finditer_long(blob)
+    for longest in (False, True):
+        assert pat.finditer_long(blob, longest=longest) == list(
+            orc.finditer(blob, longest=longest)
+        )
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    ["a{2,5}", "a{3,}", "(ab){2,4}", "(ab){3,}", "[a-c]{2,6}", "a{4}"],
+)
+def test_count_long_closed_form_spans(pattern):
+    """finditer_long for counting patterns = closed-form run-length walk
+    (lazy match = exactly m copies; greedy = min(copies, n))."""
+    import roaringregex_tpu as rrx
+    from roaringregex_tpu.ops.longstring import CountLongScanner
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    pat = rrx.Pattern(pattern)
+    assert isinstance(pat.long, CountLongScanner)
+    orc = OracleEngine.compile(pattern)
+    rng = np.random.default_rng(37)
+    texts = [
+        bytes(rng.choice(list(b"aabx"), 1200).astype(np.uint8)),
+        bytes(rng.choice(list(b"ab"), 900).astype(np.uint8)),
+        b"a" * 500, b"ab" * 250, b"", b"a", (b"a" * 7 + b"x") * 50,
+    ]
+    for t in texts:
+        for longest in (False, True):
+            want = list(orc.finditer(t, longest=longest))
+            got = pat.finditer_long(t, longest=longest)
+            assert got == want, (pattern, longest, len(t))
