@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -298,6 +299,13 @@ def main():
     ap.add_argument("--config", type=int, default=1)
     ap.add_argument("--bytes", type=int, default=None)
     args = ap.parse_args()
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even where a sitecustomize pins jax_platforms
+        # (the axon sandbox) — same escape hatch as the CLI
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import jax
 
