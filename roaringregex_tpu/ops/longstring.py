@@ -299,7 +299,7 @@ class FastLongScanner:
         from . import scan_packed as sp
         from . import scan_pallas as spl
 
-        assert prog.F is not None and prog.s_tile <= 32, "unsupported tier"
+        assert prog.F is not None, "unsupported tier"
         assert block % 128 == 0, "block must be a multiple of 128"
         self.prog = prog
         self.block = block
@@ -313,6 +313,17 @@ class FastLongScanner:
         self.overlap = (
             h + 2 if (h is not None and h + 2 <= block // 8) else None
         )
+        # wide tiles (s_tile > 32, one or two records per row): the
+        # overlapped windows run fine through the same batch kernels, but
+        # the summary pseudo-record layout is only worthwhile narrow —
+        # unseeded scans delegate to the portable scanner instead
+        self._wide = prog.s_tile > 32
+        if self._wide and self.overlap is None:
+            raise ValueError(
+                "wide-tile long mode needs a bounded horizon "
+                f"(s_tile={prog.s_tile}, horizon={h}, block={block})"
+            )
+        self._portable = None
         Q = 1
         while Q * 2 <= self.G and self.P1 <= self.G // (Q * 2):
             Q *= 2
@@ -574,6 +585,18 @@ class FastLongScanner:
         )
         if seeded and self.overlap is not None:
             return self._ov_impl(data, n=n, mode=mode)
+        if self._wide:
+            # unseeded (anchored/fullmatch) scan on a wide tile: portable
+            # summary scanner — the packed pseudo-record layout only pays
+            # for itself at s_tile <= 32
+            if self._portable is None:
+                self._portable = LongScanner(self.prog, block=4096)
+            buf = (
+                text
+                if isinstance(text, (bytes, bytearray))
+                else np.asarray(text).tobytes()
+            )
+            return self._tail(jnp.asarray(self._portable._flags(buf, seeded)), n, mode)
         nb = -(-(n + 2) // self.block)
         v0_1, g1 = self._p1_layout(nb, seeded)
         return self._sum_impl(data, v0_1, g1, n=n, seeded=seeded, mode=mode)
@@ -901,6 +924,15 @@ def make_long_scanner(prog: DeviceProgram, block: int = 16384):
         m, _, body = plan
         if max(m, 1) * len(body) <= 1 << 16:
             return CountLongScanner(prog, plan, block=max(block, 32768))
-    if prog.F is not None and prog.s_tile <= 32:
-        return FastLongScanner(prog, block=block)
+    if prog.F is not None:
+        if prog.s_tile <= 32:
+            return FastLongScanner(prog, block=block)
+        # wide tiles: overlapped windows still run at kernel rate when the
+        # horizon is bounded; grow the block so the overlap fits
+        if prog.horizon is not None:
+            blk = max(block, -(-8 * (prog.horizon + 2) // 128) * 128)
+            try:
+                return FastLongScanner(prog, block=blk)
+            except ValueError:
+                pass
     return LongScanner(prog, block=min(block, 4096))

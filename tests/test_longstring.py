@@ -87,8 +87,13 @@ def test_make_long_scanner_dispatch():
     # counting-plan patterns on one-record-per-row tiers: run-length windows
     assert isinstance(make_long_scanner(compile_program("a{1,300}")), CountLongScanner)
     assert isinstance(make_long_scanner(compile_program("(ab){2,600}")), CountLongScanner)
-    # big-S patterns with no counting plan: portable path
-    assert isinstance(make_long_scanner(compile_program("a{140}b{150}")), LongScanner)
+    # big-S acyclic patterns: overlapped windows on the wide tile
+    wide = make_long_scanner(compile_program("a{140}b{150}"))
+    assert isinstance(wide, FastLongScanner) and wide.overlap is not None
+    # big-S cyclic, no counting plan: portable summary path
+    assert isinstance(
+        make_long_scanner(compile_program("a{140}b{150}(xy)*z")), LongScanner
+    )
 
 
 def test_pattern_long_api():
@@ -304,3 +309,35 @@ def test_count_long_closed_form_spans(pattern):
             want = list(orc.finditer(t, longest=longest))
             got = pat.finditer_long(t, longest=longest)
             assert got == want, (pattern, longest, len(t))
+
+
+@pytest.mark.parametrize("pattern,blk", [
+    ("a{20}b{22}", 1024),      # s_tile 64, G=2
+    ("a{40}b{45}", 2048),      # s_tile 128, G=1
+    ("a{140}b{150}", 4096),    # multiblock s_tile 384
+])
+def test_fast_long_wide_tiles(pattern, blk):
+    """Overlapped windows on wide tiles (s_tile > 32): seeded stats and
+    bitmaps at kernel rate; unseeded fullmatch delegates to the portable
+    summary scanner."""
+    from roaringregex_tpu.ops.longstring import FastLongScanner
+
+    prog = compile_program(pattern)
+    assert prog.s_tile > 32
+    sc = FastLongScanner(prog, block=blk)
+    assert sc.overlap is not None
+    orc = OracleEngine(prog.nfa)
+    rng = np.random.default_rng(43)
+    body = pattern.replace("{", "").replace("}", "")
+    texts = [
+        b"a" * 140 + b"b" * 150,
+        (b"a" * 140 + b"b" * 150) * 3,
+        bytes(rng.choice(list(b"ab"), 3000).astype(np.uint8)),
+        b"x" * 1500 + b"a" * 140 + b"b" * 150 + b"y" * 700,
+        b"", b"ab",
+    ]
+    for t in texts:
+        got = set(np.nonzero(sc.ends_bitmap(t))[0].tolist())
+        assert got == orc.ends(t), (pattern, len(t))
+        assert sc.count_ends(t) == len(orc.ends(t))
+        assert sc.fullmatch(t) == orc.fullmatch(t), (pattern, len(t))
