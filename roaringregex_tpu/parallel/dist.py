@@ -394,20 +394,20 @@ class DistScanner:
 
     def _long_fast_scanner(self):
         """FastLongScanner for the overlapped sharded path, or None when
-        the pattern/tier doesn't support it (cyclic horizon, wide tiles)."""
+        the pattern doesn't support it (cyclic/unbounded horizon)."""
         fls = getattr(self, "_fls", None)
         if fls is None:
             from ..ops.longstring import FastLongScanner
 
             prog = self.prog
             fls = False
-            if (
-                prog.F is not None
-                and prog.s_tile <= 32
-                and prog.horizon is not None
-            ):
-                cand = FastLongScanner(prog)
-                if cand.overlap is not None:
+            if prog.F is not None and prog.horizon is not None:
+                blk = max(16384, -(-8 * (prog.horizon + 2) // 128) * 128)
+                try:
+                    cand = FastLongScanner(prog, block=blk)
+                except ValueError:  # wide tile with horizon > block/8
+                    cand = None
+                if cand is not None and cand.overlap is not None:
                     fls = cand
             self._fls = fls
         return fls or None

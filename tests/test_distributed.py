@@ -200,3 +200,21 @@ def test_long_stats_sharded_counting(mesh):
             want = len(orc.ends(t))
             assert ds.long_stats(t, mode="count") == want, (pat, len(t))
             assert ds.long_stats(t, mode="any") == (want > 0), (pat, len(t))
+
+
+def test_long_stats_sharded_wide_tile(mesh):
+    """Wide-tile (s_tile > 32) bounded-horizon patterns run the sharded
+    overlapped-window path too."""
+    for pat, blk in (("a{40}b{45}", 2560), ("a{140}b{150}", 4096)):
+        ds = DistScanner(compile_program(pat), mesh)
+        fls = ds._long_fast_scanner()
+        assert fls is not None and fls.overlap is not None, pat
+        fls.block = blk  # small windows so work crosses all devices
+        orc = OracleEngine.compile(pat)
+        t = (
+            b"x" * 9000 + b"a" * 140 + b"b" * 150 + b"y" * 3000
+            + b"a" * 40 + b"b" * 45 + b"z" * 2000
+        )
+        want = len(orc.ends(t))
+        assert ds.long_stats(t, mode="count") == want, pat
+        assert ds.long_stats(t, mode="any") == (want > 0), pat
