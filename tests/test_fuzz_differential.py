@@ -88,3 +88,38 @@ def test_fuzz_oracle_vs_re_fullmatch(seed):
             # '.' matches any byte in re but only ASCII<128 here; texts are
             # ASCII so semantics align
             assert orc.fullmatch(t) == bool(cre.fullmatch(t)), (pattern, t)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_long_mode_vs_oracle(seed):
+    """Long-string mode (whatever scanner make_long_scanner picks —
+    counting windows, overlapped windows, or summaries) vs the oracle on
+    random patterns over strings long enough to cross window boundaries."""
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    rng = np.random.default_rng(100 + seed)
+    base = get_config()
+    tested = 0
+    try:
+        set_config(base.with_(long_block=256))
+        while tested < 8:
+            pattern = _gen_pattern(rng)
+            try:
+                pat = rrx.Pattern(pattern)
+            except rrx.RegexSyntaxError:
+                continue
+            tested += 1
+            orc = OracleEngine(pat.program.nfa)
+            for _ in range(3):
+                ln = int(rng.integers(0, 900))
+                t = bytes(
+                    rng.choice(list(b"abcx0."), size=ln).astype(np.uint8)
+                )
+                assert pat.long.count_ends(t) == len(orc.ends(t)), (
+                    pattern, type(pat.long).__name__, ln,
+                )
+                assert pat.long.fullmatch(t) == orc.fullmatch(t), (
+                    pattern, ln,
+                )
+    finally:
+        set_config(base)
