@@ -946,6 +946,62 @@ long rrx_spans(const RrxScanner* s, const uint8_t* text, long n, int longest,
   return cnt;
 }
 
+// Any match in text[0:n] (seeded scan, early exit at the first accept) —
+// the grep primitive for one record.
+static int line_any(const RrxScanner* s, const uint8_t* text, long n) {
+  if (s->nullable) return 1;
+  if (s->words == 1 && !s->dfa_seeded.full) {
+    uint64_t D0 = s->step1(1ull, kBOS) | 1ull;
+    if (D0 & s->accept[0] & ~1ull) return 1;
+    int32_t id = s->dfa_seeded.intern(D0, s->accept[0]);
+    for (long k = 1; id >= 0 && k <= n + 1; k++) {
+      if (k <= n && text[k - 1] >= 128) {
+        id = s->dfa_seeded.intern(0, s->accept[0]);
+        continue;
+      }
+      int sym = k <= n ? (int)text[k - 1] : kEOS;
+      id = s->dnext(s->dfa_seeded, id, sym, /*seeded=*/true);
+      if (id >= 0 && s->dfa_seeded.acc[(size_t)id]) return 1;
+    }
+    if (id >= 0) return 0;  // scanned everything, no accept
+  }
+  std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
+  for (long k = 0; k <= n + 1; k++) {
+    D[0] |= 1;
+    int sym = k == 0 ? kBOS
+                     : (k <= n ? (text[k - 1] < 128 ? (int)text[k - 1] : -1)
+                               : kEOS);
+    if (sym < 0) {
+      std::fill(D.begin(), D.end(), 0);
+      continue;
+    }
+    s->step(D, scratch, sym);
+    if (k == 0) D[0] |= 1;
+    if (hits_accept(s, D)) return 1;
+  }
+  return 0;
+}
+
+// Grep over newline-delimited records in ONE call: out_hits bit r = some
+// match in record r (seeded, early exit per record). Returns the record
+// count, or -1 if it exceeds max_records. The whole-file CLI grep path —
+// no per-line language-boundary crossings.
+long rrx_grep_lines(const RrxScanner* s, const uint8_t* buf, long n,
+                    uint8_t* out_hits, long max_records) {
+  long rec = 0, start = 0;
+  for (long i = 0; i <= n; i++) {
+    if (i == n || buf[i] == '\n') {
+      if (i == n && i == start) break;  // no trailing record
+      if (rec >= max_records) return -1;
+      if (line_any(s, buf + start, i - start))
+        out_hits[rec >> 3] |= (uint8_t)(1u << (rec & 7));
+      rec++;
+      start = i + 1;
+    }
+  }
+  return rec;
+}
+
 // ---------------------------------------------------------------------------
 // Corpus packer (data-loader): newline records -> padded [B, L] + lengths.
 // Returns the record count, or -1 if more than max_records records exist.

@@ -158,18 +158,20 @@ def main(argv=None) -> int:
             if lines and lines[-1] == b"":
                 lines.pop()
             n_lines += len(lines)
+            line_hits = None
+            if not args.only_spans and not args.fullmatch:
+                # whole-buffer grep in one native call (early exit per line)
+                line_hits = he.grep_lines(buf)
             for ln_no, line in enumerate(lines):
                 n_bytes += len(line)
                 spans = None
-                if args.only_spans:
+                if line_hits is not None:
+                    hit = bool(line_hits[ln_no])
+                elif args.only_spans:
                     spans = he.finditer(line, longest=args.greedy)
                     hit = bool(spans)
                 else:
-                    hit = (
-                        he.fullmatch(line)
-                        if args.fullmatch
-                        else he.search(line)
-                    )
+                    hit = he.fullmatch(line)
                 if args.invert_match:
                     hit = not hit
                 if hit:

@@ -107,6 +107,10 @@ def _load() -> Optional[ct.CDLL]:
             ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_int,
             ct.c_void_p, ct.c_void_p, ct.c_long,
         ]
+        lib.rrx_grep_lines.restype = ct.c_long
+        lib.rrx_grep_lines.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_void_p, ct.c_long,
+        ]
         _lib = lib
         return _lib
 
@@ -323,3 +327,22 @@ class HostEngine:
 
     def findall(self, text, *, longest: bool = False):
         return self.finditer(text, longest=longest)
+
+    def grep_lines(self, buf) -> "np.ndarray":
+        """[n_records] bool hit flags over a newline-delimited buffer in
+        ONE native call (seeded scan, early exit per record) — the CLI
+        grep fast path."""
+        import numpy as np
+
+        b = self._buf(buf)
+        # record count bound: newlines + a possible trailing record
+        cap = b.count(b"\n") + 1
+        hits = np.zeros((cap + 7) // 8, np.uint8)
+        n = int(
+            self._lib.rrx_grep_lines(
+                self._scan, b, len(b),
+                hits.ctypes.data_as(ct.c_void_p), cap,
+            )
+        )
+        assert n >= 0, "record cap underestimated"
+        return np.unpackbits(hits, bitorder="little")[:n].astype(bool)

@@ -234,3 +234,29 @@ def test_host_engine_spans_cap_regrow():
     text = b"a" * 200
     spans = he.finditer(text)
     assert spans == [(i, i + 1) for i in range(200)]
+
+
+def test_host_grep_lines_oracle_parity():
+    """rrx_grep_lines: whole-buffer grep in one native call must agree
+    with per-line oracle search, including $-anchored accepts, dead
+    bytes, empty lines, and a missing trailing newline."""
+    from roaringregex_tpu.compiler.native import HostEngine
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    rng = np.random.default_rng(13)
+    for pat in ["cat|dog", "^ab", "ab$", "a{2,5}", "x?", "(a|b)*c", "a{100}"]:
+        he = HostEngine(pat)
+        orc = OracleEngine.compile(pat)
+        lines = [
+            bytes(rng.choice(list(b"abcatdogx\xff"[:10]),
+                             int(rng.integers(0, 40))))
+            for _ in range(120)
+        ] + [b"", b"cat", b"ab", b"a" * 100, b"a" * 99]
+        buf = b"\n".join(lines) + b"\n"
+        hits = he.grep_lines(buf)
+        assert len(hits) == len(lines)
+        for i, ln in enumerate(lines):
+            assert bool(hits[i]) == orc.search(ln), (pat, i, ln[:20])
+    he = HostEngine("cat")
+    assert list(he.grep_lines(b"xcatx\nnope\nendcat")) == [True, False, True]
+    assert list(he.grep_lines(b"")) == []
