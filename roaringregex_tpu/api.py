@@ -309,6 +309,13 @@ class Pattern:
         """
         data = _as_bytes(text)
         n = len(data)
+        if n == 0:
+            # trivial input; the candidate-slice path below assumes n >= 1
+            from .oracle.engine import OracleEngine
+
+            return list(
+                OracleEngine(self.program.nfa).finditer(b"", longest=longest)
+            )
         lam = self.program.horizon
         sc = self.long
         if not self.program.nullable and hasattr(sc, "spans"):

@@ -159,8 +159,9 @@ def main(argv=None) -> int:
                 lines.pop()
             n_lines += len(lines)
             line_hits = None
-            if not args.only_spans and not args.fullmatch:
-                # whole-buffer grep in one native call (early exit per line)
+            if not args.fullmatch and (not args.only_spans or counts_only):
+                # whole-buffer grep in one native call (early exit per
+                # line); -o -c needs only the per-line hit bit too
                 line_hits = he.grep_lines(buf)
             for ln_no, line in enumerate(lines):
                 n_bytes += len(line)

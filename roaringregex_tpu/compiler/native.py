@@ -69,50 +69,86 @@ def _load() -> Optional[ct.CDLL]:
             return None
         try:
             lib = ct.CDLL(path)
-        except OSError:
-            _lib_failed = True
-            return None
-        lib.rrx_compile.restype = ct.c_void_p
-        lib.rrx_compile.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int]
-        lib.rrx_n_states.restype = ct.c_long
-        lib.rrx_n_states.argtypes = [ct.c_void_p]
-        lib.rrx_nullable.restype = ct.c_int
-        lib.rrx_nullable.argtypes = [ct.c_void_p]
-        lib.rrx_n_edges.restype = ct.c_long
-        lib.rrx_n_edges.argtypes = [ct.c_void_p]
-        lib.rrx_edges.argtypes = [ct.c_void_p, ct.c_void_p]
-        lib.rrx_labels.argtypes = [ct.c_void_p, ct.c_void_p]
-        lib.rrx_n_accept.restype = ct.c_long
-        lib.rrx_n_accept.argtypes = [ct.c_void_p]
-        lib.rrx_accept.argtypes = [ct.c_void_p, ct.c_void_p]
-        lib.rrx_free.argtypes = [ct.c_void_p]
-        lib.rrx_scan_records.restype = ct.c_long
-        lib.rrx_scan_records.argtypes = [ct.c_void_p, ct.c_long, ct.c_void_p]
-        lib.rrx_pack_lines.restype = ct.c_long
-        lib.rrx_pack_lines.argtypes = [
-            ct.c_void_p, ct.c_long, ct.c_long, ct.c_long, ct.c_void_p,
-            ct.c_void_p,
-        ]
-        lib.rrx_scanner_new.restype = ct.c_void_p
-        lib.rrx_scanner_new.argtypes = [ct.c_void_p]
-        lib.rrx_scanner_free.argtypes = [ct.c_void_p]
-        lib.rrx_fullmatch.restype = ct.c_int
-        lib.rrx_fullmatch.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_long]
-        lib.rrx_count_ends.restype = ct.c_long
-        lib.rrx_count_ends.argtypes = [
-            ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_void_p,
-        ]
-        lib.rrx_spans.restype = ct.c_long
-        lib.rrx_spans.argtypes = [
-            ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_int,
-            ct.c_void_p, ct.c_void_p, ct.c_long,
-        ]
-        lib.rrx_grep_lines.restype = ct.c_long
-        lib.rrx_grep_lines.argtypes = [
-            ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_void_p, ct.c_long,
-        ]
+            _bind(lib)
+        except (OSError, AttributeError):
+            # A stale prebuilt .so (e.g. surviving a git pull, missing
+            # newly added symbols) must not take down compilation: force
+            # one rebuild and load the fresh artifact via a temp copy
+            # (dlopen caches by path, and the failed handle above may pin
+            # the old mapping).
+            lib = _rebuild_and_load()
+            if lib is None:
+                _lib_failed = True
+                return None
         _lib = lib
         return _lib
+
+
+def _rebuild_and_load() -> Optional[ct.CDLL]:
+    import shutil
+    import tempfile
+
+    try:
+        subprocess.run(
+            ["make", "-B", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=".so", delete=False, prefix="rrx_host_"
+        )
+        tmp.close()
+        shutil.copy2(_LIB_PATH, tmp.name)
+        lib = ct.CDLL(tmp.name)
+        _bind(lib)
+        return lib
+    except Exception:
+        return None
+
+
+def _bind(lib: ct.CDLL) -> None:
+    """Declare every symbol's signature; raises AttributeError on a stale
+    library missing newer entry points."""
+    lib.rrx_compile.restype = ct.c_void_p
+    lib.rrx_compile.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int]
+    lib.rrx_n_states.restype = ct.c_long
+    lib.rrx_n_states.argtypes = [ct.c_void_p]
+    lib.rrx_nullable.restype = ct.c_int
+    lib.rrx_nullable.argtypes = [ct.c_void_p]
+    lib.rrx_n_edges.restype = ct.c_long
+    lib.rrx_n_edges.argtypes = [ct.c_void_p]
+    lib.rrx_edges.argtypes = [ct.c_void_p, ct.c_void_p]
+    lib.rrx_labels.argtypes = [ct.c_void_p, ct.c_void_p]
+    lib.rrx_n_accept.restype = ct.c_long
+    lib.rrx_n_accept.argtypes = [ct.c_void_p]
+    lib.rrx_accept.argtypes = [ct.c_void_p, ct.c_void_p]
+    lib.rrx_free.argtypes = [ct.c_void_p]
+    lib.rrx_scan_records.restype = ct.c_long
+    lib.rrx_scan_records.argtypes = [ct.c_void_p, ct.c_long, ct.c_void_p]
+    lib.rrx_pack_lines.restype = ct.c_long
+    lib.rrx_pack_lines.argtypes = [
+        ct.c_void_p, ct.c_long, ct.c_long, ct.c_long, ct.c_void_p,
+        ct.c_void_p,
+    ]
+    lib.rrx_scanner_new.restype = ct.c_void_p
+    lib.rrx_scanner_new.argtypes = [ct.c_void_p]
+    lib.rrx_scanner_free.argtypes = [ct.c_void_p]
+    lib.rrx_fullmatch.restype = ct.c_int
+    lib.rrx_fullmatch.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_long]
+    lib.rrx_count_ends.restype = ct.c_long
+    lib.rrx_count_ends.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_void_p,
+    ]
+    lib.rrx_spans.restype = ct.c_long
+    lib.rrx_spans.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_int,
+        ct.c_void_p, ct.c_void_p, ct.c_long,
+    ]
+    lib.rrx_grep_lines.restype = ct.c_long
+    lib.rrx_grep_lines.argtypes = [
+        ct.c_void_p, ct.c_void_p, ct.c_long, ct.c_void_p, ct.c_long,
+    ]
 
 
 def available() -> bool:

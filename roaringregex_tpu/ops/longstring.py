@@ -686,6 +686,18 @@ class FastLongScanner:
         return bool(self._run(text, False, "full"))
 
 
+def count_window_geom(n: int, blk: int, lead: int):
+    """(nw, Lw, nseg) for overlapped run-length windows: nw windows of
+    ``blk`` payload bytes each re-scanning ``lead`` context bytes, built
+    from nseg shifted block-reshapes of a dead-filled ext buffer. Shared
+    by CountLongScanner._win and DistScanner._long_count_spmd so the two
+    layouts cannot drift."""
+    nw = max(1, -(-n // blk))
+    Lw = lead + blk
+    nseg = -(-Lw // blk) + 1
+    return nw, Lw, nseg
+
+
 class CountLongScanner:
     """One-long-string scan for counting-plan patterns (fixed-length-body
     ``X{m,n}``: ``a{1,300}``, ``(ab){2,600}``, ...).
@@ -725,9 +737,7 @@ class CountLongScanner:
         w = data[w*blk : w*blk + blk + lead] (right context, reverse pass).
         Built from shifted reshapes — no device gathers."""
         blk, lead = self.block, self.lead
-        nw = max(1, -(-n // blk))
-        Lw = lead + blk
-        nseg = -(-Lw // blk) + 1
+        nw, Lw, nseg = count_window_geom(n, blk, lead)
         ext_len = (nw + nseg) * blk
         ext = jnp.full(ext_len, 128, jnp.uint8)  # 0x80 = dead symbol
         off = 0 if right else lead

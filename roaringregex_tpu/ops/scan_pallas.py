@@ -3263,7 +3263,7 @@ def _in_class(d, runs):
     return x
 
 
-def _count_step(rb_s, pb_s, hits, lens, tg, GC, k, cap):
+def _count_step(rb_s, pb_s, hits, GC, k, cap):
     """Shared stride-k run-length step: body-occurrence from rolling
     prefix-progress bits, run from the k-lagged buffer. Returns (occ, r)
     and rotates both buffers."""
@@ -3288,6 +3288,30 @@ def _count_step(rb_s, pb_s, hits, lens, tg, GC, k, cap):
     else:
         rb_s[:] = jnp.concatenate([rb_s[GC:], r], axis=0)
     return occ, r
+
+
+def _count_unseeded_fl(ab_s, occ, tg, lens, GC, k, mm, n):
+    """Shared unseeded (anchored-prefix) accept flag: rotates the
+    anchored-run lag buffer and applies the all-copies-from-BOS gates."""
+    ap_lag = ab_s[0:GC] if k > 1 else ab_s[:]
+    ap = jnp.where(
+        tg < 1,
+        jnp.ones_like(ap_lag),
+        jnp.where(occ, ap_lag, 0),
+    )
+    if k == 1:
+        # dead tail passes through (matches the matrix tiers' frozen
+        # post-EOS state; values past lens are never read)
+        ap = jnp.where(tg > lens, ap_lag, ap)
+        ab_s[:] = ap
+    else:
+        ab_s[:] = jnp.concatenate([ab_s[GC:], ap], axis=0)
+    fl = (ap > 0) & (tg >= mm * k) & (tg <= lens)
+    if k > 1:
+        fl = fl & (tg % k == 0)
+    if n:
+        fl = fl & (tg <= n * k)
+    return fl
 
 
 def _count_match_kernel(
@@ -3357,28 +3381,11 @@ def _count_match_kernel(
         tg = j * T_chunk + i
         valid = (tg >= 1) & (tg <= lens)
         hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
-        occ, r = _count_step(rb_s, pb_s, hits, lens, tg, GC, k, cap)
+        occ, r = _count_step(rb_s, pb_s, hits, GC, k, cap)
         if seeded:
             fl = r >= mm
         else:
-            ap_lag = ab_s[0:GC] if k > 1 else ab_s[:]
-            ap = jnp.where(
-                tg < 1,
-                jnp.ones_like(ap_lag),
-                jnp.where(occ, ap_lag, 0),
-            )
-            if k == 1:
-                # dead tail passes through (matches the matrix tiers'
-                # frozen post-EOS state; values past lens are never read)
-                ap = jnp.where(tg > lens, ap_lag, ap)
-                ab_s[:] = ap
-            else:
-                ab_s[:] = jnp.concatenate([ab_s[GC:], ap], axis=0)
-            fl = (ap > 0) & (tg >= mm * k) & (tg <= lens)
-            if k > 1:
-                fl = fl & (tg % k == 0)
-            if n:
-                fl = fl & (tg <= n * k)
+            fl = _count_unseeded_fl(ab_s, occ, tg, lens, GC, k, mm, n)
         if lead:
             fl = fl & (tg > lead)
         e = jnp.minimum(tg, lens)
@@ -3432,26 +3439,11 @@ def _count_flags_kernel(
         tg = j * T_chunk + i
         valid = (tg >= 1) & (tg <= lens)
         hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
-        occ, r = _count_step(rb_s, pb_s, hits, lens, tg, GC, k, cap)
+        occ, r = _count_step(rb_s, pb_s, hits, GC, k, cap)
         if seeded:
             fl = r >= mm
         else:
-            ap_lag = ab_s[0:GC] if k > 1 else ab_s[:]
-            ap = jnp.where(
-                tg < 1,
-                jnp.ones_like(ap_lag),
-                jnp.where(occ, ap_lag, 0),
-            )
-            if k == 1:
-                ap = jnp.where(tg > lens, ap_lag, ap)
-                ab_s[:] = ap
-            else:
-                ab_s[:] = jnp.concatenate([ab_s[GC:], ap], axis=0)
-            fl = (ap > 0) & (tg >= mm * k) & (tg <= lens)
-            if k > 1:
-                fl = fl & (tg % k == 0)
-            if n:
-                fl = fl & (tg <= n * k)
+            fl = _count_unseeded_fl(ab_s, occ, tg, lens, GC, k, mm, n)
         flags_out[i] = fl.astype(jnp.int8)
         return 0
 

@@ -428,11 +428,14 @@ class DistScanner:
         )
         if self.prog.nullable:
             return n + 1 if mode == "count" else True
-        data0 = (
-            jnp.asarray(np.frombuffer(text_bytes, np.uint8))
-            if isinstance(text_bytes, (bytes, bytearray))
-            else jnp.asarray(text_bytes)
-        )
+
+        def data0():
+            return (
+                jnp.asarray(np.frombuffer(text_bytes, np.uint8))
+                if isinstance(text_bytes, (bytes, bytearray))
+                else jnp.asarray(text_bytes)
+            )
+
         cls = self._long_count_scanner()
         if cls is not None and n > 0:
             # counting-plan patterns: run-length windows sharded over the
@@ -440,7 +443,7 @@ class DistScanner:
             # byte-step only)
             rep = NamedSharding(self.mesh, P())
             total = self._long_count_spmd(
-                jax.device_put(data0, rep), n=n, cls=cls
+                jax.device_put(data0(), rep), n=n, cls=cls
             )
             return int(total) if mode == "count" else bool(int(total) > 0)
         fls = self._long_fast_scanner()
@@ -451,7 +454,7 @@ class DistScanner:
             return bool((flags[: n + 2] > 0).any())
         rep = NamedSharding(self.mesh, P())
         total, tail = self._long_stats_spmd(
-            jax.device_put(data0, rep), n=n, fls=fls
+            jax.device_put(data0(), rep), n=n, fls=fls
         )
         if mode == "count":
             return int(total) + int(bool(tail))
@@ -463,12 +466,12 @@ class DistScanner:
         ``cls.block`` payload bytes (+ ``cls.lead`` re-scanned context),
         runs the run-length kernels locally, and ONE psum reduces the
         match-end counts — the whole scan is a single SPMD program."""
+        from ..ops.longstring import count_window_geom
+
         blk, lead = cls.block, cls.lead
         D = self.mesh.devices.size
-        Lw = lead + blk
-        nw = max(1, -(-n // blk))
+        nw, Lw, nseg = count_window_geom(n, blk, lead)
         nw_dev = -(-nw // D)
-        nseg = -(-Lw // blk) + 1
         ext_len = (D * nw_dev + nseg) * blk
         ext = jnp.full(ext_len, 128, jnp.uint8)  # 0x80 = dead filler
         ext = jax.lax.dynamic_update_slice(ext, data, (lead,))

@@ -6,7 +6,9 @@ XLA CPU backend / Pallas interpret mode, and multi-chip sharding tests use
 ``jax_platforms`` to the axon TPU tunnel regardless of env vars, so we must
 override via jax.config *before* the backend initializes.
 """
+import atexit
 import os
+import shutil
 import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -14,7 +16,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # writers can corrupt a shared cache file, and a corrupted entry
 # SEGFAULTS jax on read (observed 2026-08-18). Tests compile fast on CPU;
 # cross-run reuse is not worth the hazard.
-os.environ["RRX_COMPILE_CACHE"] = tempfile.mkdtemp(prefix="rrx_jax_test_")
+_cache_dir = tempfile.mkdtemp(prefix="rrx_jax_test_")
+os.environ["RRX_COMPILE_CACHE"] = _cache_dir
+atexit.register(shutil.rmtree, _cache_dir, True)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -341,3 +341,14 @@ def test_fast_long_wide_tiles(pattern, blk):
         assert got == orc.ends(t), (pattern, len(t))
         assert sc.count_ends(t) == len(orc.ends(t))
         assert sc.fullmatch(t) == orc.fullmatch(t), (pattern, len(t))
+
+
+def test_finditer_long_empty_input():
+    """Empty input must not crash the candidate-slice path (regression:
+    arr[-1] gather on a zero-length array)."""
+    import roaringregex_tpu as rrx
+
+    assert rrx.Pattern("a{0,5}").finditer_long(b"", longest=True) == [(0, 0)]
+    assert rrx.Pattern("x?").finditer_long(b"") == [(0, 0)]
+    assert rrx.Pattern("ca?t").finditer_long(b"") == []
+    assert rrx.Pattern("^").finditer_long(b"") == [(0, 0)]

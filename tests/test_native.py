@@ -260,3 +260,19 @@ def test_host_grep_lines_oracle_parity():
     he = HostEngine("cat")
     assert list(he.grep_lines(b"xcatx\nnope\nendcat")) == [True, False, True]
     assert list(he.grep_lines(b"")) == []
+
+
+def test_rebuild_and_load_recovers():
+    """_rebuild_and_load: the stale-.so escape hatch must produce a fully
+    bound, working library (exercises make -B + temp-copy dlopen)."""
+    from roaringregex_tpu.compiler import native as nat
+
+    if not nat.available():
+        pytest.skip("native library unavailable")
+    lib = nat._rebuild_and_load()
+    assert lib is not None
+    # new-API symbols are bound and callable through a fresh handle
+    from roaringregex_tpu.compiler.native import HostEngine
+
+    he = HostEngine("cat")
+    assert he.finditer(b"xcat") == [(1, 4)]
