@@ -421,11 +421,13 @@ class MultiPattern:
         if not self.patterns:
             raise ValueError("no patterns")
         self.P = len(self.patterns)
+        self.backend = backend
         nfas = [build_nfa(p) for p in self.patterns]
         self.nullables = np.array([n.nullable for n in nfas])
         combined, accepts = combine_nfas(nfas)
         self.program = compile_program(combined)
         self._singles: Optional[List[Pattern]] = None
+        self._spanners: Optional[List[Pattern]] = None
         prog = self.program
         P = self.P
         if prog.tier == "sparse":
@@ -499,3 +501,19 @@ class MultiPattern:
 
     def grep(self, texts: Sequence[TextLike]) -> np.ndarray:
         return self.search_batch(texts)
+
+    def finditer_batch(
+        self, texts: Sequence[TextLike], *, longest: bool = False
+    ) -> List[List[List[Tuple[int, int]]]]:
+        """[P][B] non-overlapping span lists, one per pattern. The
+        non-overlap policy (lazy leftmost-shortest / greedy POSIX) is
+        defined *within* one pattern, so extraction runs per pattern —
+        the single-pass combined automaton only accelerates the boolean /
+        counting entry points above."""
+        if self._spanners is None:
+            self._spanners = self._singles or [
+                Pattern(p, backend=self.backend) for p in self.patterns
+            ]
+        return [
+            p.finditer_batch(texts, longest=longest) for p in self._spanners
+        ]

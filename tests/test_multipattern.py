@@ -74,3 +74,21 @@ def test_multipattern_no_monkey_patching():
     # the pallas scanner's packing G is untouched; channels live in at
     assert eng._pallas.Gp == mp.program.G
     assert eng._pallas.at.shape[0] == mp.program.G * 2
+
+
+def test_multipattern_finditer_batch():
+    """Per-pattern span extraction: [P][B] lists, both policies, vs the
+    oracle (the non-overlap policy is per-pattern; combined-automaton
+    channels only accelerate the boolean/count paths)."""
+    import roaringregex_tpu as rrx
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    mp = rrx.MultiPattern(["cat|dog", "[0-9]+", "ab"])
+    texts = [b"a cat 42", b"nothing", b"dog9ab", b""]
+    for longest in (False, True):
+        out = mp.finditer_batch(texts, longest=longest)
+        assert len(out) == mp.P
+        for p, patstr in enumerate(mp.patterns):
+            orc = OracleEngine.compile(patstr)
+            for b, t in enumerate(texts):
+                assert out[p][b] == list(orc.finditer(t, longest=longest))
