@@ -556,6 +556,44 @@ struct LazyDfa {
   }
 };
 
+// 128-bit variant for the 65..128-state tier (the reference's 128-bit
+// SIMD BitSet<2> analog): same lazy subset-DFA idea keyed on
+// unsigned __int128.
+typedef unsigned __int128 u128;
+
+struct LazyDfa128 {
+  static constexpr int32_t kCap = 4096;
+  struct H {
+    size_t operator()(u128 v) const {
+      uint64_t x = (uint64_t)v ^ ((uint64_t)(v >> 64) * 0x9e3779b97f4a7c15ull);
+      x ^= x >> 33;
+      x *= 0xff51afd7ed558ccdull;
+      x ^= x >> 33;
+      return (size_t)x;
+    }
+  };
+  std::unordered_map<u128, int32_t, H> ids;
+  std::vector<u128> bits;
+  std::vector<int32_t> rows;
+  std::vector<uint8_t> acc;
+  bool full = false;
+
+  int32_t intern(u128 d, u128 accept_mask) {
+    auto it = ids.find(d);
+    if (it != ids.end()) return it->second;
+    if ((int32_t)bits.size() >= kCap) {
+      full = true;
+      return -2;
+    }
+    int32_t id = (int32_t)bits.size();
+    ids.emplace(d, id);
+    bits.push_back(d);
+    rows.insert(rows.end(), kNSYM, -1);
+    acc.push_back((d & accept_mask & ~(u128)1) != 0);
+    return id;
+  }
+};
+
 struct RrxScanner {
   long S;
   bool nullable;
@@ -570,6 +608,62 @@ struct RrxScanner {
   mutable LazyDfa dfa_rev;         // T(R,c) = (pred(R) | accept) & bsym[c];
                                    // acc flag = R meets follow[0] (start
                                    // viability, rrx_spans backward pass)
+  mutable LazyDfa128 dfa2_seeded;  // the same three, 65..128-state tier
+  mutable LazyDfa128 dfa2_plain;
+  mutable LazyDfa128 dfa2_rev;
+
+  inline u128 row2(const std::vector<uint64_t>& tab, size_t i) const {
+    return (u128)tab[i * 2] | ((u128)tab[i * 2 + 1] << 64);
+  }
+  inline u128 accept2() const { return row2(accept, 0); }
+
+  // One double-word subset step (words == 2).
+  inline u128 step2(u128 D, int sym) const {
+    u128 u = 0;
+    uint64_t lo = (uint64_t)D, hi = (uint64_t)(D >> 64);
+    while (lo) {
+      long i = (long)__builtin_ctzll(lo);
+      lo &= lo - 1;
+      u |= row2(follow, (size_t)i);
+    }
+    while (hi) {
+      long i = 64 + (long)__builtin_ctzll(hi);
+      hi &= hi - 1;
+      u |= row2(follow, (size_t)i);
+    }
+    return u & row2(bsym, (size_t)sym);
+  }
+
+  inline int32_t dnext2(LazyDfa128& d, int32_t id, int sym,
+                        bool seeded) const {
+    int32_t& slot = d.rows[(size_t)id * kNSYM + (size_t)sym];
+    if (slot >= 0) return slot;
+    u128 D = d.bits[(size_t)id];
+    if (seeded) D |= (u128)1;
+    slot = d.intern(step2(D, sym), accept2());
+    return slot;
+  }
+
+  inline int32_t dnext2_rev(int32_t id, int sym) const {
+    LazyDfa128& d = dfa2_rev;
+    int32_t& slot = d.rows[(size_t)id * kNSYM + (size_t)sym];
+    if (slot >= 0) return slot;
+    u128 R = d.bits[(size_t)id], P = 0;
+    uint64_t lo = (uint64_t)R, hi = (uint64_t)(R >> 64);
+    while (lo) {
+      long j = (long)__builtin_ctzll(lo);
+      lo &= lo - 1;
+      P |= row2(pred, (size_t)j);
+    }
+    while (hi) {
+      long j = 64 + (long)__builtin_ctzll(hi);
+      hi &= hi - 1;
+      P |= row2(pred, (size_t)j);
+    }
+    slot = d.intern((P | accept2()) & row2(bsym, (size_t)sym),
+                    row2(follow, 0));
+    return slot;
+  }
 
   // One word-tier subset step (words == 1): the union of follow rows of
   // the set bits, masked by the symbol's entry set.
@@ -678,7 +772,8 @@ static long anchored_end(const RrxScanner* s, const uint8_t* text, long n,
 
 int rrx_fullmatch(const RrxScanner* s, const uint8_t* text, long n) {
   if (n == 0 && s->nullable) return 1;
-  if (s->words == 1 && !s->dfa_plain.full)
+  if ((s->words == 1 && !s->dfa_plain.full) ||
+      (s->words == 2 && !s->dfa2_plain.full))
     // whole-string acceptance == the greedy anchored end from 0 is n
     // (any accept at e == n implies the largest accept end is n)
     return anchored_end(s, text, n, 0, /*longest=*/1) == n;
@@ -738,6 +833,40 @@ static long count_ends_dfa(const RrxScanner* s, const uint8_t* text, long n,
   return cnt;
 }
 
+// Double-word (65..128 states) twin of count_ends_dfa.
+static long count_ends_dfa2(const RrxScanner* s, const uint8_t* text, long n,
+                            long* first_end) {
+  LazyDfa128& d = s->dfa2_seeded;
+  u128 D0 = s->step2((u128)1, kBOS) | (u128)1;
+  long cnt = 0, first = -1, last = -1;
+  if (D0 & s->accept2() & ~(u128)1) {
+    cnt = 1;
+    first = last = 0;
+  }
+  int32_t id = d.intern(D0, s->accept2());
+  if (id < 0) return -1;
+  for (long k = 1; k <= n + 1; k++) {
+    if (k <= n && text[k - 1] >= 128) {
+      id = d.intern(0, s->accept2());
+      if (id < 0) return -1;
+      continue;
+    }
+    int sym = k <= n ? (int)text[k - 1] : kEOS;
+    id = s->dnext2(d, id, sym, /*seeded=*/true);
+    if (id < 0) return -1;
+    if (d.acc[(size_t)id]) {
+      long e = k <= n ? k : n;
+      if (e != last) {
+        cnt++;
+        last = e;
+        if (first < 0) first = e;
+      }
+    }
+  }
+  if (first_end) *first_end = first;
+  return cnt;
+}
+
 long rrx_count_ends(const RrxScanner* s, const uint8_t* text, long n,
                     long* first_end) {
   std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
@@ -749,6 +878,10 @@ long rrx_count_ends(const RrxScanner* s, const uint8_t* text, long n,
   if (s->words == 1 && !s->dfa_seeded.full) {
     long r = count_ends_dfa(s, text, n, first_end);
     if (r >= 0) return r;  // cache overflow: redo with the subset loop
+  }
+  if (s->words == 2 && !s->dfa2_seeded.full) {
+    long r = count_ends_dfa2(s, text, n, first_end);
+    if (r >= 0) return r;
   }
   for (long k = 0; k <= n + 1; k++) {
     D[0] |= 1;  // fresh seed before every symbol
@@ -803,6 +936,37 @@ static long anchored_end_dfa(const RrxScanner* s, const uint8_t* text,
   return best;
 }
 
+// Double-word twin of anchored_end_dfa.
+static long anchored_end_dfa2(const RrxScanner* s, const uint8_t* text,
+                              long n, long start, int longest) {
+  LazyDfa128& d = s->dfa2_plain;
+  long best = (s->accept[0] & 1ull) ? start : -1;
+  if (best >= 0 && !longest) return best;
+  u128 D = (u128)1;
+  if (start == 0) {
+    D = s->step2((u128)1, kBOS) | (u128)1;
+    if (D & s->accept2() & ~(u128)1) {
+      if (!longest) return 0;
+      best = 0;
+    }
+  }
+  int32_t id = d.intern(D, s->accept2());
+  if (id < 0) return -2;
+  for (long i = start; i <= n; i++) {
+    if (i < n && text[i] >= 128) return best;
+    int sym = i < n ? (int)text[i] : kEOS;
+    id = s->dnext2(d, id, sym, /*seeded=*/false);
+    if (id < 0) return -2;
+    if (d.acc[(size_t)id]) {
+      long e = i < n ? i + 1 : n;
+      if (!longest) return e;
+      best = e;
+    }
+    if (d.bits[(size_t)id] == 0) return best;
+  }
+  return best;
+}
+
 // Anchored scan from position s: smallest (lazy) / largest (longest) end e
 // such that text[s:e] matches, or -1. Mirrors the oracle's first_end_from /
 // last_end_from (BOS replay + re-inject at s == 0, EOS as final symbol).
@@ -810,6 +974,10 @@ static long anchored_end(const RrxScanner* s, const uint8_t* text, long n,
                          long start, int longest) {
   if (s->words == 1 && !s->dfa_plain.full) {
     long r = anchored_end_dfa(s, text, n, start, longest);
+    if (r != -2) return r;
+  }
+  if (s->words == 2 && !s->dfa2_plain.full) {
+    long r = anchored_end_dfa2(s, text, n, start, longest);
     if (r != -2) return r;
   }
   std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
@@ -882,6 +1050,25 @@ long rrx_spans(const RrxScanner* s, const uint8_t* text, long n, int longest,
         dfa_done = true;
       } else {
         std::fill(viable.begin(), viable.end(), 0);  // redo generically
+      }
+    }
+    if (!dfa_done && s->words == 2 && !s->dfa2_rev.full) {
+      int32_t id = s->dfa2_rev.intern(0, s->row2(s->follow, 0));
+      long t = n + 1;
+      for (; t >= 1 && id >= 0; t--) {
+        if (t <= n && text[t - 1] >= 128) {
+          id = s->dfa2_rev.intern(0, s->row2(s->follow, 0));
+          continue;
+        }
+        int sym = t == n + 1 ? kEOS : (int)text[t - 1];
+        id = s->dnext2_rev(id, sym);
+        if (id >= 0 && s->dfa2_rev.acc[(size_t)id])
+          viable[(size_t)((t - 1) >> 6)] |= 1ull << ((t - 1) & 63);
+      }
+      if (id >= 0) {
+        dfa_done = true;
+      } else {
+        std::fill(viable.begin(), viable.end(), 0);
       }
     }
     if (!dfa_done) {
@@ -964,6 +1151,21 @@ static int line_any(const RrxScanner* s, const uint8_t* text, long n) {
       if (id >= 0 && s->dfa_seeded.acc[(size_t)id]) return 1;
     }
     if (id >= 0) return 0;  // scanned everything, no accept
+  }
+  if (s->words == 2 && !s->dfa2_seeded.full) {
+    u128 D0 = s->step2((u128)1, kBOS) | (u128)1;
+    if (D0 & s->accept2() & ~(u128)1) return 1;
+    int32_t id = s->dfa2_seeded.intern(D0, s->accept2());
+    for (long k = 1; id >= 0 && k <= n + 1; k++) {
+      if (k <= n && text[k - 1] >= 128) {
+        id = s->dfa2_seeded.intern(0, s->accept2());
+        continue;
+      }
+      int sym = k <= n ? (int)text[k - 1] : kEOS;
+      id = s->dnext2(s->dfa2_seeded, id, sym, /*seeded=*/true);
+      if (id >= 0 && s->dfa2_seeded.acc[(size_t)id]) return 1;
+    }
+    if (id >= 0) return 0;
   }
   std::vector<uint64_t> D(s->words, 0), scratch(s->words, 0);
   for (long k = 0; k <= n + 1; k++) {

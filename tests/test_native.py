@@ -276,3 +276,29 @@ def test_rebuild_and_load_recovers():
 
     he = HostEngine("cat")
     assert he.finditer(b"xcat") == [(1, 4)]
+
+
+def test_host_engine_128bit_tier_parity():
+    """65..128-state patterns run the double-word lazy DFA (the
+    reference's 128-bit SIMD tier analog) — full oracle parity."""
+    from roaringregex_tpu.compiler.native import HostEngine
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    rng = np.random.default_rng(71)
+    for p in ["a{100}", "a{65}", "[ab]{70,90}", "(abcd){17,25}",
+              "a{64}b{40}"]:
+        he = HostEngine(p)
+        orc = OracleEngine.compile(p)
+        texts = [
+            bytes(rng.choice(list(b"ab"), int(rng.integers(0, 260))))
+            for _ in range(12)
+        ] + [b"a" * 64, b"a" * 65, b"a" * 100, b"a" * 128, b"a" * 129,
+             b"ab" * 64, b"abcd" * 25, b""]
+        for t in texts:
+            ends = orc.ends(t)
+            assert he.count_ends(t) == len(ends), (p, len(t))
+            assert he.fullmatch(t) == orc.fullmatch(t), (p, len(t))
+            for longest in (False, True):
+                assert he.finditer(t, longest=longest) == list(
+                    orc.finditer(t, longest=longest)
+                ), (p, len(t), longest)
