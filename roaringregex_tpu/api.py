@@ -268,9 +268,11 @@ class Pattern:
     @property
     def host(self):
         """Self-contained CPU matcher (compiler/native.py HostEngine over
-        native/rrx_host.cc): ``pat.host.fullmatch/search/count_ends``.
-        The librregex.a capability of the reference — matching with no
-        JAX/device runtime. Raises RuntimeError if the native library is
+        native/rrx_host.cc): ``pat.host.fullmatch/search/count_ends/
+        finditer/grep_lines``. The librregex.a capability of the
+        reference, with lazy-DFA subset caching on the <=64 and <=128
+        state tiers (~150-220 MB/s/core) — matching with no JAX/device
+        runtime. Raises RuntimeError if the native library is
         unavailable."""
         if getattr(self, "_host", None) is None:
             from .compiler.native import HostEngine
