@@ -132,20 +132,18 @@ def main(argv=None) -> int:
         # Self-contained native CPU scan (native/rrx_host.cc RrxScanner):
         # no JAX/device runtime is initialized at all on this path — the
         # librregex.a capability of the reference.
-        if len(patterns) > 1 or args.long:
-            print(
-                "rrx: --backend host takes a single pattern, no --long",
-                file=sys.stderr,
-            )
+        if args.long:
+            print("rrx: --backend host has no --long mode", file=sys.stderr)
             return 2
         from .compiler.native import HostEngine
         from .compiler.parser import RegexSyntaxError
 
         try:
-            he = HostEngine(patterns[0])
+            engines = [HostEngine(p) for p in patterns]
         except RegexSyntaxError as e:
             print(f"rrx: invalid pattern: {e}", file=sys.stderr)
             return 2
+        he = engines[0]
         if args.dump or args.dump_full:
             # program compile + dump are pure host numpy (no ScanEngine)
             from .compiler.serialize import cached_compile
@@ -160,9 +158,12 @@ def main(argv=None) -> int:
             n_lines += len(lines)
             line_hits = None
             if not args.fullmatch and (not args.only_spans or counts_only):
-                # whole-buffer grep in one native call (early exit per
-                # line); -o -c needs only the per-line hit bit too
-                line_hits = he.grep_lines(buf)
+                # whole-buffer grep, one native call per pattern (early
+                # exit per line); multi-pattern = grep-style union.
+                # -o -c needs only the per-line hit bit too
+                line_hits = engines[0].grep_lines(buf)
+                for eng in engines[1:]:
+                    line_hits |= eng.grep_lines(buf)
             for ln_no, line in enumerate(lines):
                 n_bytes += len(line)
                 spans = None

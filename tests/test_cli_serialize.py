@@ -208,3 +208,23 @@ def test_cli_long_mode(tmp_path):
     assert code == 0 and out.strip() == "2"
     code, out, _ = _run_cli(["--long", "-c", "(ab)*c+d", str(f)], b"")
     assert code == 1 and out.strip() == "0"
+
+
+def test_cli_host_multi_pattern():
+    """--backend host -e P1 -e P2: grep-style union via per-pattern
+    native grep_lines."""
+    from roaringregex_tpu.compiler import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    code, out, _ = _run_cli(
+        ["--backend", "host", "-n", "-e", "error", "-e", "good"], LINES
+    )
+    assert code == 0
+    assert out.splitlines() == [
+        "1:error: disk full", "2:all good", "3:another error here",
+    ]
+    code, out, _ = _run_cli(
+        ["--backend", "host", "-c", "-e", "error", "-e", "caps"], LINES
+    )
+    assert code == 0 and out.strip() == "3"
