@@ -136,11 +136,12 @@ def main(argv=None) -> int:
             print("rrx: --backend host has no --long mode", file=sys.stderr)
             return 2
         from .compiler.native import HostEngine
+        from .compiler.nfa import PatternTooLargeError
         from .compiler.parser import RegexSyntaxError
 
         try:
             engines = [HostEngine(p) for p in patterns]
-        except RegexSyntaxError as e:
+        except (RegexSyntaxError, PatternTooLargeError) as e:
             print(f"rrx: invalid pattern: {e}", file=sys.stderr)
             return 2
         he = engines[0]
@@ -199,6 +200,7 @@ def main(argv=None) -> int:
         return 0 if n_match > 0 else 1
 
     from .api import MultiPattern, Pattern
+    from .compiler.nfa import PatternTooLargeError
     from .compiler.parser import RegexSyntaxError
 
     multi = None
@@ -208,7 +210,7 @@ def main(argv=None) -> int:
             pat = None
         else:
             pat = Pattern(patterns[0], backend=args.backend)
-    except RegexSyntaxError as e:
+    except (RegexSyntaxError, PatternTooLargeError) as e:
         print(f"rrx: invalid pattern: {e}", file=sys.stderr)
         return 2
     if args.dump or args.dump_full:

@@ -84,6 +84,13 @@ def _load() -> Optional[ct.CDLL]:
         return _lib
 
 
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
 def _rebuild_and_load() -> Optional[ct.CDLL]:
     import shutil
     import tempfile
@@ -101,6 +108,12 @@ def _rebuild_and_load() -> Optional[ct.CDLL]:
         tmp.close()
         shutil.copy2(_LIB_PATH, tmp.name)
         lib = ct.CDLL(tmp.name)
+        # reclaim the per-process copy at exit (dlopen holds it mapped
+        # until then; unlinking now would work on Linux but atexit keeps
+        # the file visible for debuggers while the process lives)
+        import atexit
+
+        atexit.register(lambda p=tmp.name: _unlink_quiet(p))
         _bind(lib)
         return lib
     except Exception:
@@ -362,7 +375,10 @@ class HostEngine:
             cap = n  # exact total: one re-run always suffices
 
     def findall(self, text, *, longest: bool = False):
-        return self.finditer(text, longest=longest)
+        """Matched byte substrings — mirrors ``Pattern.findall`` (which
+        returns bytes, not spans); use :meth:`finditer` for (start, end)."""
+        b = self._buf(text)
+        return [b[s:e] for s, e in self.finditer(text, longest=longest)]
 
     def grep_lines(self, buf) -> "np.ndarray":
         """[n_records] bool hit flags over a newline-delimited buffer in

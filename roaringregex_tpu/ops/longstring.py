@@ -787,9 +787,19 @@ class CountLongScanner:
         return int(total), int(first), int(last)
 
     def _run(self, text, seeded: bool, mode: str):
-        """Device-value variant for pipelined callers (bench harness):
-        returns the un-synced scalar so K scans can be in flight."""
+        """Device-value variant for pipelined callers (bench harness).
+
+        Duck-types ``FastLongScanner._run`` for the modes this tier
+        supports: seeded count/any and unseeded fullmatch. Returns the
+        un-synced device scalar so K scans can be in flight."""
         data, n = self._data(text)
+        if mode == "full":
+            return self._full_value(data, n)
+        if not seeded or mode not in ("count", "any"):
+            raise ValueError(
+                f"CountLongScanner._run: unsupported (seeded={seeded}, "
+                f"mode={mode!r}) — counting tier has no flag stream"
+            )
         total, _, _ = self._stats_impl(data, n=n)
         return total if mode == "count" else total > 0
 
@@ -799,21 +809,25 @@ class CountLongScanner:
     def search(self, text) -> bool:
         return self.count_ends(text) > 0
 
-    def fullmatch(self, text) -> bool:
-        data, n = self._data(text)
+    def _full_value(self, data, n: int):
+        """Whole-string acceptance as a device (or python) bool scalar."""
         if n == 0:
-            return bool(self.prog.nullable)
+            return jnp.bool_(self.prog.nullable)
         k, mm = self.k, max(self.m, 1)
         j = n // k
         if n % k or j < mm or (self.n and j > self.n):
-            return False
+            return jnp.bool_(False)
         from .scan_pallas import _in_class
 
         ok = jnp.bool_(True)
         for q in range(k):
             d = data[q::k].astype(jnp.int32)
             ok = ok & jnp.all(_in_class(d, self.body[q]))
-        return bool(ok)
+        return ok
+
+    def fullmatch(self, text) -> bool:
+        data, n = self._data(text)
+        return bool(self._full_value(data, n))
 
     # -- bitmaps (ends / candidate starts over the global stream) ----------
     @functools.partial(jax.jit, static_argnames=("self", "n"))

@@ -23,7 +23,7 @@ test elastic recovery without killing chips).
 """
 from __future__ import annotations
 
-import concurrent.futures as _fut
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -75,6 +75,33 @@ class MeshHealth:
     detail: str = ""
 
 
+def _watchdog(fn: Callable, timeout_s: float):
+    """Run ``fn`` on a daemon thread; return its result or raise TimeoutError.
+
+    Deliberately NOT a ThreadPoolExecutor: leaving an executor's ``with``
+    block joins the worker, so a device call hung inside ``fn`` would hang
+    the caller forever — the exact failure the watchdog exists to bound.
+    A timed-out daemon thread is abandoned instead (it cannot be cancelled,
+    but it no longer blocks the probe or interpreter exit)."""
+    box: list = []
+
+    def _run():
+        try:
+            box.append((True, fn()))
+        except Exception as e:  # pragma: no cover - device-dependent
+            box.append((False, e))
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if not box:
+        raise TimeoutError(f"watchdog: no answer within {timeout_s}s")
+    ok, val = box[0]
+    if not ok:
+        raise val
+    return val
+
+
 def _probe_one(dev, timeout_s: float) -> bool:
     """One-device liveness: put + add + readback under a watchdog."""
 
@@ -82,12 +109,10 @@ def _probe_one(dev, timeout_s: float) -> bool:
         x = jax.device_put(jnp.arange(8, dtype=jnp.int32), dev)
         return int(jax.block_until_ready(x + 1)[0])
 
-    with _fut.ThreadPoolExecutor(max_workers=1) as ex:
-        f = ex.submit(_go)
-        try:
-            return f.result(timeout=timeout_s) == 1
-        except Exception:
-            return False
+    try:
+        return _watchdog(_go, timeout_s) == 1
+    except Exception:
+        return False
 
 
 def probe_mesh(
@@ -106,7 +131,7 @@ def probe_mesh(
         # one psum across the mesh: catches interconnect faults that
         # per-device probes miss
         def _psum_check():
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             f = shard_map(
@@ -119,13 +144,11 @@ def probe_mesh(
             out = jax.block_until_ready(jax.jit(f)(x))
             return int(np.asarray(out).reshape(-1)[0])
 
-        with _fut.ThreadPoolExecutor(max_workers=1) as ex:
-            fut = ex.submit(_psum_check)
-            try:
-                if fut.result(timeout=timeout_s) != len(devs):
-                    detail = "collective psum returned a wrong sum"
-            except Exception as e:
-                detail = f"collective psum failed: {e!r}"
+        try:
+            if _watchdog(_psum_check, timeout_s) != len(devs):
+                detail = "collective psum returned a wrong sum"
+        except Exception as e:
+            detail = f"collective psum failed: {e!r}"
     return MeshHealth(
         ok=not dead and not detail,
         alive=alive,
@@ -243,8 +266,17 @@ class ElasticScanner:
 
     # -- recovered entry points (take host numpy, return host results) ----
     def global_stats(self, data, lengths):
-        out, _ = self._run("global_stats", data, lengths)
-        return out
+        out, B = self._run("global_stats", data, lengths)
+        total, nrec, nbytes = (int(np.asarray(x)) for x in out)
+        # _pad_to_mesh appends zero-length phantom records; for a nullable
+        # pattern each phantom contributes one empty match and one matched
+        # record to the psum-reduced scalars — subtract them back out.
+        n = self.n_devices  # mesh that ran the successful attempt
+        pad = ((B + n - 1) // n) * n - B
+        if pad and bool(getattr(self.prog, "nullable", False)):
+            total -= pad
+            nrec -= pad
+        return total, nrec, nbytes
 
     def grep_hits(self, data, lengths):
         out, B = self._run("grep_hits", data, lengths)

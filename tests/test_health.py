@@ -125,3 +125,21 @@ def test_elastic_recovers_from_injected_fault(mesh):
     with pytest.raises(InjectedFault):
         es2.global_stats(data, lengths)
     inject_faults(0)
+
+
+def test_elastic_global_stats_nullable_padding(mesh):
+    """Zero-length phantom records appended by _pad_to_mesh must not count:
+    for a nullable pattern each phantom would otherwise add one empty match
+    and one matched record to the psum totals."""
+    prog = compile_program("a*")  # nullable: empty record matches
+    oracle = OracleEngine(prog.nfa)
+    recs = [b"aaa", b"bbb", b"a"]  # 3 records on an 8-device mesh -> 5 pads
+    data, lengths = _pack(recs)
+    es = ElasticScanner(prog, mesh)
+    total, nrec, nbytes = es.global_stats(data, lengths)
+
+    want_total = sum(len(oracle.ends(bytes(r))) for r in recs)
+    want_nrec = sum(1 for r in recs if len(oracle.ends(bytes(r))) > 0)
+    assert int(total) == want_total
+    assert int(nrec) == want_nrec
+    assert int(nbytes) == sum(len(r) for r in recs)

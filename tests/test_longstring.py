@@ -352,3 +352,25 @@ def test_finditer_long_empty_input():
     assert rrx.Pattern("x?").finditer_long(b"") == [(0, 0)]
     assert rrx.Pattern("ca?t").finditer_long(b"") == []
     assert rrx.Pattern("^").finditer_long(b"") == [(0, 0)]
+
+
+def test_count_long_run_duck_types_fast_scanner():
+    """CountLongScanner._run must honor the (seeded, mode) contract of
+    FastLongScanner._run: mode 'full' is whole-string acceptance, not the
+    seeded search-anywhere result, and unsupported combos raise."""
+    from roaringregex_tpu.ops.longstring import CountLongScanner
+    from roaringregex_tpu.ops.scan_pallas import counting_plan
+
+    prog = compile_program("a{2,3}")
+    sc = CountLongScanner(prog, counting_plan(prog), block=128)
+
+    # search-anywhere hits but fullmatch must not
+    assert bool(sc._run(b"xaax", True, "any"))
+    assert not bool(sc._run(b"xaax", False, "full"))
+    assert bool(sc._run(b"aa", False, "full"))
+    assert int(sc._run(b"xaax", True, "count")) == 1
+
+    with pytest.raises(ValueError):
+        sc._run(b"xaax", True, "flags")
+    with pytest.raises(ValueError):
+        sc._run(b"xaax", False, "count")
