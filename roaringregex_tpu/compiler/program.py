@@ -174,6 +174,20 @@ class DeviceProgram:
         return self.nfa.pattern
 
     @property
+    def uses_anchor(self) -> bool:
+        """True iff the pattern contains ``^``/``$`` (some position is
+        labeled with the BOS/EOS pseudo-symbol). Anchor-free programs may
+        inject BOS/EOS steps at arbitrary stream offsets (both symbols are
+        inert: no position's label matches them), which the windowed batch
+        fast path (engine._window_plan) relies on."""
+        if getattr(self, "_uses_anchor", None) is None:
+            from .parser import BOS, EOS
+
+            B = self.nfa.symtab
+            self._uses_anchor = bool(B[BOS].any() or B[EOS].any())
+        return self._uses_anchor
+
+    @property
     def horizon(self) -> Optional[int]:
         """Longest path length in the follow graph, or None if cyclic.
 

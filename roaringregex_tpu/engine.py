@@ -259,12 +259,82 @@ class ScanEngine:
         cls = self.encode(data, lengths)
         return sx.forward_flags(self.tables, cls, seeded=seeded, n_seed_steps=2)
 
+    def _window_plan(self, L: int, B: int, seeded: bool):
+        """(k, w, h) record window split for the batched byte scan, or None.
+
+        Tall-narrow batches (few records x long records) underfill the
+        kernel's batch lanes; splitting each record into ``k`` windows of
+        ``w`` owned bytes plus an ``h``-byte warm-up overlap (scanned with
+        ``lead=h`` so overlap accepts are suppressed) multiplies the batch
+        width by k at a +h/w byte cost. Exact for (cnt, first, any) when
+        every match fits in ``h = prog.horizon`` bytes, the pattern is
+        anchor-free (BOS/EOS symbols inert, so per-window injection is a
+        no-op) and non-nullable (no empty match at every position)."""
+        from .utils.config import get_config
+
+        p = self.prog
+        if (
+            not seeded
+            or not getattr(self._pallas, "byte_window_ok", False)
+            or self.P != 1
+            or self._nullable
+            or p.nullable
+            or p.uses_anchor
+        ):
+            return None
+        h = p.horizon
+        if h is None or h > 128:
+            return None
+        w_min = max(128, 4 * h)
+        target = get_config().window_cols
+        if not target or L < 2 * w_min:
+            return None
+        G = max(1, p.G)
+        rows = max(1, B // G)
+        k = min(L // w_min, -(-target // rows))
+        if k < 2:
+            return None
+        w = -(-L // k)
+        k = -(-L // w)
+        return (k, w, h) if k >= 2 else None
+
+    def _match_stats_windowed(self, data, lengths, k: int, w: int, h: int):
+        """Windowed (cnt, first, any): split [B, L] records into [B*k, w+h]
+        overlapped windows (front-padded with 0xFF, a dead byte for ASCII
+        programs), scan with lead=h, and reduce per record."""
+        data = jnp.asarray(data)
+        B, L = data.shape
+        dp = jnp.pad(
+            data, ((0, 0), (h, k * w - L)), constant_values=np.uint8(0xFF)
+        )
+        win = jnp.stack(
+            [dp[:, j * w : j * w + w + h] for j in range(k)], axis=1
+        ).reshape(B * k, w + h)
+        off = jnp.arange(k, dtype=jnp.int32)[None, :] * w
+        ln = jnp.clip(
+            jnp.asarray(lengths, jnp.int32)[:, None] + h - off, 0, w + h
+        )  # [B, k] window-local lengths
+        cnt, first, last, full, anym = self._pallas.match_stats_b(
+            win, ln.reshape(-1, self.prog.G), seeded=True, lead=h
+        )
+        cnt = cnt.reshape(B, k)
+        first = first.reshape(B, k)
+        big = jnp.int32(1 << 30)
+        fg = jnp.where(first >= 0, first - h + off, big)
+        fmin = jnp.min(fg, axis=1)
+        cnt_rec = cnt.sum(axis=1)
+        return cnt_rec, jnp.where(fmin >= big, -1, fmin), cnt_rec > 0
+
     def match_stats(self, data, lengths, *, seeded: bool):
         """(count, first_end, any) per accept channel (== per record unless
         multi-pattern), each flattened to [B * channels_per_record]."""
         if self._pallas is not None:
+            data = jnp.asarray(data)
+            plan = self._window_plan(data.shape[1], data.shape[0], seeded)
+            if plan is not None:
+                return self._match_stats_windowed(data, lengths, *plan)
             cnt, first, last, full, anym = self._pallas.match_stats_b(
-                jnp.asarray(data), self._len_g(lengths), seeded=seeded
+                data, self._len_g(lengths), seeded=seeded
             )
             B = cnt.shape[0] * cnt.shape[1]
             return cnt.reshape(B), first.reshape(B), anym.reshape(B)

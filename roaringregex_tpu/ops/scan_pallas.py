@@ -528,6 +528,7 @@ class PallasScanner:
     """Owns kernel-layout tables + jit caches for one compiled program."""
 
     has_anchor = True  # anchored-rescan / span kernels available
+    byte_window_ok = True  # match_stats_b supports windowed mode (lead>0)
     diag_ks = None  # banded-diagonal plan (set when the follow is banded)
     ftd = None
 
@@ -765,6 +766,7 @@ class SparseScanner(PallasScanner):
     kernel (partial-block matmul list + full-block U map)."""
 
     has_anchor = False
+    byte_window_ok = False  # engine windowed mode is dense-tier only
 
     def __init__(
         self,
@@ -1225,6 +1227,7 @@ def _match_kernel_b(
     dks=None,
     K: int = 1,
     Lp: int = 0,
+    lead: int = 0,
 ):
     """Count-semantics scan: the per-step dependent chain is just
 
@@ -1331,6 +1334,11 @@ def _match_kernel_b(
                 ).astype(jnp.float32)
                 > 0
             )  # [C, B]
+            if lead:
+                # windowed batch mode: the first ``lead`` steps of each
+                # segment are the overlap prefix owned by the previous
+                # window -- scan them (state warm-up) but report nothing
+                fl = fl & (tl > lead)
             e = jnp.minimum(tl, lenc)
             if K > 1:
                 # route this step's stats to the live segment's block
@@ -1961,19 +1969,25 @@ def _add_byte_path(cls):
         return max(K, 1)
 
     # -- match stats -----------------------------------------------------
-    def match_stats_b(self, data, len_g, *, seeded: bool):
+    def match_stats_b(self, data, len_g, *, seeded: bool, lead: int = 0):
         """Raw bytes [B, L] + len_g [B_rows, G] -> per accept channel
-        (cnt, first, last, full, any), each [B_rows, C]."""
+        (cnt, first, last, full, any), each [B_rows, C].
+
+        ``lead`` > 0 = windowed batch mode (engine._window_plan): each
+        record is an overlapped window slice whose first ``lead`` byte
+        steps only warm the state up; accepts there belong to the
+        previous window and are suppressed in every stat."""
         data = jnp.asarray(data)
         L = data.shape[1]
         G = max(1, self.Gp)
         B_rows0, B = len_g.shape[0], len_g.shape[0] * G
-        K = self._chain_k(L, B)
+        K = 1 if lead else self._chain_k(L, B)
         if K == 1:
             T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows0)
             lenT = self._lenT(len_g, B_pad)
             cnt, first, last, full = self._match_call_b(
-                data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, 1
+                data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, 1,
+                lead,
             )
             tr = lambda x: jnp.transpose(x[:, :B_rows0], (1, 0))
             cnt, first, last, full = tr(cnt), tr(first), tr(last), tr(full)
@@ -1992,7 +2006,7 @@ def _add_byte_path(cls):
         )
         lenT = jnp.pad(lk.astype(jnp.int32), ((0, 0), (0, B_pad - B_rows)))
         cnt, first, last, full = self._match_call_b(
-            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K
+            data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K, 0
         )
 
         def un(x):  # [K*C, B_pad] -> [B_rows0, G*P] in external record order
@@ -2006,11 +2020,12 @@ def _add_byte_path(cls):
         jax.jit,
         static_argnames=(
             "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r",
-            "K",
+            "K", "lead",
         ),
     )
     def _match_call_b(
-        self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K
+        self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K,
+        lead=0,
     ):
         G, lanes = self.Gp, self.lanes
         C = self.at.shape[0]
@@ -2033,6 +2048,7 @@ def _add_byte_path(cls):
             dks=self.diag_ks,
             K=K,
             Lp=L + 3,
+            lead=lead,
         )
         fttab = self.ftd if self.diag_ks else self.ft
         gspec = pl.BlockSpec(
@@ -2474,13 +2490,15 @@ def _add_sparse_byte_path(cls):
         jax.jit,
         static_argnames=(
             "self", "seeded", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r",
-            "K",
+            "K", "lead",
         ),
     )
     def _match_call_b(
-        self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K=1
+        self, data, lenT, seeded, L, T_pad, B_pad, B_blk, T_chunk, r, K=1,
+        lead=0,
     ):
         assert K == 1, "record chaining is a dense-tier optimization"
+        assert lead == 0, "windowed batch mode is a dense-tier optimization"
         lanes = self.lanes
         C = self.at1.shape[0]
         npart = self.pb.shape[0]

@@ -48,6 +48,17 @@ class RrxConfig:
     chain_target: int = field(
         default_factory=lambda: _env_int("RRX_CHAIN_TARGET", 0)
     )
+    # windowed batch scan: split long records into overlapped windows
+    # until the batch is ~this many kernel columns wide (exact for
+    # bounded-horizon anchor-free non-nullable patterns; engine
+    # _window_plan). 0 (default) = off: on v5e the XLA window-gather that
+    # widens the batch costs more than the wider kernel saves (measured
+    # interleaved medians at 10 MB x 1024 B records: 7.9 vs 9.8 GB/s);
+    # the knob exists for parts/geometries where batch lanes are the
+    # binding constraint.
+    window_cols: int = field(
+        default_factory=lambda: _env_int("RRX_WINDOW_COLS", 0)
+    )
     # banded follow matrices (bounded-repetition chains): apply F^T as
     # <= this many diagonal shift+multiply VPU ops instead of the dense
     # lanes^2 MXU matmul; 0 disables the banded kernels
