@@ -361,12 +361,22 @@ class FastLongScanner:
         return (flags[n] > 0) | (flags[n + 1] > 0)  # fullmatch
 
     # -- shared window-batch byte layout ----------------------------------
+    def _ov_block(self, n: int) -> int:
+        """Per-call window length for the overlapped path: size windows so
+        the batch is ~2k kernel columns wide (the per-step cost is nearly
+        flat below that, so fixed per-step work amortizes over more lanes)
+        while keeping the overlap re-scan tax (overlap/block) small."""
+        G, o = self.G, self.overlap or 0
+        blk = -(-(n + 2) // (G * 2048))
+        blk = max(256, 8 * o, -(-blk // 128) * 128)
+        return min(-(-blk // 128) * 128, self.block)
+
     def _window_tm(self, data, n: int, B_pad: int, T_pad: int, r: int,
-                   lead: int):
+                   lead: int, block: int = 0):
         """[T_pad//r, r*G, B_pad] slab layout where window w = col*G + g
         covers global stream steps [w*block - (lead-1), ...): element
         (w, t) = text byte at global index w*block + t - lead."""
-        G, block = self.G, self.block
+        G, block = self.G, block or self.block
         nbp = B_pad * G
         ext = nbp * block + T_pad
         de = jnp.zeros(ext, jnp.uint8).at[lead : lead + n].set(data)
@@ -392,12 +402,14 @@ class FastLongScanner:
     # -- overlapped fast path (bounded-horizon patterns, seeded) ----------
     @functools.partial(jax.jit, static_argnames=("self", "n", "mode"))
     def _ov_impl(self, data, *, n: int, mode: str):
-        G, lanes, block, o = self.G, self.lanes, self.block, self.overlap
+        G, lanes, o = self.G, self.lanes, self.overlap
+        block = self._ov_block(n)
         T = n + 2
         nb = -(-T // block)
         rows = -(-nb // G)
         T_pad, B_pad, B_blk, T_chunk, r = self._geom(block + o, rows, G)
-        tm = self._window_tm(data, n, B_pad, T_pad, r, lead=o + 1)
+        tm = self._window_tm(data, n, B_pad, T_pad, r, lead=o + 1,
+                             block=block)
         w = self._slot_windows(B_pad)
         bosr = o + 1 - w * block
         eosr = (n + o + 1) - w * block
