@@ -215,7 +215,20 @@ class Pattern:
             return [
                 [(p, p) for p in range(int(lengths[i]) + 1)] for i in range(B)
             ]
-        cap = min(_pow2(8), maxlen + 1) if maxlen else 1
+        # Pre-size the span buffers from one counts pass: every emitted
+        # span (lazy or greedy) ends at a distinct match-end position, so
+        # n_spans <= match_stats count per record. Bucketing to a power of
+        # two bounds the jit-cache to log(maxlen) kernel variants and makes
+        # runtime recompiles-on-overflow structurally impossible (the old
+        # quadruple-and-retry loop could recompile up to 4x per call).
+        if nullable:
+            # nullable greedy: the empty-match fallback makes every
+            # position a potential span start
+            mx = int(np.asarray(lengths)[:B].max()) + 1 if B else 1
+        else:
+            cnt0, _, _ = eng.match_stats(data, lengths, seeded=True)
+            mx = int(np.asarray(cnt0)[:B].max()) if B else 0
+        cap = _pow2(min(max(mx, 1), maxlen + 1 if maxlen else 1))
         while True:
             if longest:
                 s_buf, e_buf, cnt, over = eng._pallas.greedy_spans_b(
@@ -229,7 +242,7 @@ class Pattern:
                 need_retry = bool((np.asarray(cnt)[:B] > cap).any())
             if not need_retry or cap > maxlen:
                 break
-            cap = min(_pow2(cap * 4), maxlen + 1)
+            cap = min(_pow2(cap * 4), maxlen + 1)  # unreachable safety net
         s_np, e_np, c_np = np.asarray(s_buf), np.asarray(e_buf), np.asarray(cnt)
         return [
             list(zip(s_np[i, : c_np[i]].tolist(), e_np[i, : c_np[i]].tolist()))

@@ -61,11 +61,26 @@ def test_device_spans_match_host_rounds():
             ), (pattern, longest)
 
 
-def test_cap_retry():
-    """Span buffers grow when a record has more matches than the cap."""
+def test_cap_presized_no_retry():
+    """A pathological record (1000 matches) runs with ONE spans dispatch:
+    the cap is pre-sized from a counts pass (n_spans <= distinct match
+    ends), so the old quadruple-and-recompile overflow loop never fires."""
     p = Pattern("a", backend="pallas")
-    t = b"a" * 200  # 200 spans >> initial cap of 8
-    got = p.finditer_batch([t])[0]
-    assert got == [(i, i + 1) for i in range(200)]
-    got_g = p.finditer_batch([t], longest=True)[0]
-    assert got_g == [(i, i + 1) for i in range(200)]
+    sc = p.engine._pallas
+    calls = []
+    orig_lazy, orig_greedy = sc.lazy_spans_b, sc.greedy_spans_b
+    sc.lazy_spans_b = lambda *a, **k: calls.append(k["cap"]) or orig_lazy(*a, **k)
+    sc.greedy_spans_b = (
+        lambda *a, **k: calls.append(k["cap"]) or orig_greedy(*a, **k)
+    )
+    try:
+        t = b"a" * 1000  # 1000 spans >> the old initial cap of 8
+        got = p.finditer_batch([t])[0]
+        assert got == [(i, i + 1) for i in range(1000)]
+        assert calls == [1024], calls  # one dispatch, pow2-bucketed cap
+        calls.clear()
+        got_g = p.finditer_batch([t], longest=True)[0]
+        assert got_g == [(i, i + 1) for i in range(1000)]
+        assert calls == [1024], calls
+    finally:
+        sc.lazy_spans_b, sc.greedy_spans_b = orig_lazy, orig_greedy
