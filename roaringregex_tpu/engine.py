@@ -171,7 +171,19 @@ class ScanEngine:
                         nullable=nullable,
                     )
                 else:
-                    self._pallas = spl.PallasScanner(
+                    swar = None
+                    if accept_map is None and channels_per_record == 1:
+                        from .ops import scan_swar as ssw
+
+                        if ssw.swar_spec(prog) is not None:
+                            # tiny-automaton fast path: 4 records per u32
+                            # lane, bit-exact SWAR transitions (the
+                            # reference's u64 word tier, Parser.cpp:165-168,
+                            # as vector SWAR)
+                            swar = ssw.SwarScanner(
+                                prog, self._ptables, nullable=nullable
+                            )
+                    self._pallas = swar or spl.PallasScanner(
                         prog, self._ptables, nullable=nullable
                     )
 

@@ -1,0 +1,594 @@
+"""SWAR bit-packed Pallas scan for tiny automata (s_tile == 8).
+
+The lane-per-state kernels (ops/scan_pallas.py) spend one bf16 VPU lane on
+every NFA state: a 7-state ``cat|dog`` program burns a [128, B] register row
+to advance 16 records one byte. Profiling (round 3) showed that path is
+VPU-bound at ~0.9 ns per column-step — the MXU follow matmul is free, the
+elementwise mask/threshold traffic is not. This module is the density fix
+for the smallest (and headline) tier: the reference's ``u64 BitSet<1>``
+word tier (BitSet.h:9-41, Parser.cpp:165-168) reborn as **SWAR on u32
+vector lanes** — 4 records per uint32, 8-bit state sets, 32 records per
+vector column:
+
+* state vector ``v``: [8, B] uint32 — byte k of row g8, column b is the
+  full reachable-state bitset of one record (exact boolean semantics, no
+  bf16, no renormalization).
+* transition by **diagonal decomposition** of the static 8x8 Glushkov
+  follow matrix (the reference's per-byte row union, NFA.cc:86-100,
+  turned inside out): edges sharing the offset d = target - source
+  collapse to ``nxt |= (vv << d) & gmask_d`` — a chain like ``c->a->t``
+  is ONE shift/AND/OR regardless of length, so the per-step dependent
+  chain is ~3 ops per distinct diagonal.
+* byte->class gates: SWAR range compares on the per-byte high bit,
+  batched over the whole 8-step slab (no cross-step dependence) and
+  pre-positioned at each target state's bit so the inner loop pays no
+  per-target shifts.
+* record lengths stay **in the kernel** as per-byte-lane int32 compares
+  batched per slab (alive = byte index < len, EOS = byte index == len,
+  BOS = step 0), assembled into SWAR byte masks that AND into the gates.
+  An XLA-side sentinel/select pass over the [R, T] byte field was 10x
+  more expensive than these in-VMEM compares. Flags beyond step len + 1
+  are therefore structurally zero, so the stats reduction needs no
+  length masking at all.
+* the stream layout is just a quad-local byte interleave + one uint32 2D
+  transpose of the raw bytes — both ~30 us at 10 MB (any layout with a
+  size-4 minor axis is ~30x slower through XLA's transpose lowering).
+* accept flags are emitted as a **bit-log** (bit m of log byte = step m's
+  accept), 1/8 byte per scanned byte; counts/first/last/full reduce from
+  the log in one fused XLA pass (popcount / ctz / msb per word — no
+  gathers, no [B, T] materialization, and no minor-axis stacking, which
+  would poison the reduction's layout assignment). For ``$``-patterns
+  the EOS step duplicates end == len; the kernel dedups it against the
+  previous step so the count is a plain popcount.
+* tall-narrow batches (few long records) split into overlapped windows
+  in-jit (exact for bounded-horizon anchor-free non-nullable patterns,
+  same argument as engine._window_plan) so the kernel always runs wide;
+  the windows are two slice-concats, not k strided gathers.
+
+Only s_tile == 8 programs qualify (S <= 8 states after Glushkov
+factorization — which covers every BASELINE dense-config pattern); wider
+tiles keep the matmul kernels.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..compiler.program import DeviceProgram
+from .scan_pallas import (
+    B_BLK_MAX,
+    STREAM_VMEM_BUDGET,
+    PallasScanner,
+    _interpret,
+    _round_up,
+    _pow2_floor,
+)
+
+M1 = 0x01010101
+M7F = 0x7F7F7F7F
+M80 = 0x80808080
+RECS = 32  # records per vector column (8 u32 rows x 4 byte lanes)
+G8 = 8  # u32 rows per step
+BIG = 1 << 30
+
+
+class SwarSpec(NamedTuple):
+    """Static per-program plan (hashable: jit/pallas static arg)."""
+
+    # deduped byte-set gates: (((lo, hi), ...) merged runs, bos, eos)
+    gates: Tuple[Tuple[Tuple[Tuple[int, int], ...], bool, bool], ...]
+    # per-state positioning: ((gate_index, target_state), ...) — the slab
+    # pass shifts gate g's 0x80-mask down to bit ``u`` of each byte
+    gpos: Tuple[Tuple[int, int], ...]
+    # diagonal decomposition: ((delta, (gpos_index, ...)), ...); the step
+    # applies nxt |= (vv << delta) & OR(gmask[i] for i in group)
+    diags: Tuple[Tuple[int, Tuple[int, ...]], ...]
+    accept_bits: Tuple[int, ...]
+    has_eos: bool  # some gate fires on the EOS boundary ($ patterns)
+    has_bos: bool  # some gate fires on the BOS step (^ patterns)
+
+
+def _merge_runs(runs):
+    out = []
+    for lo, hi in sorted(runs):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return tuple(out)
+
+
+def swar_spec(prog: DeviceProgram) -> Optional[SwarSpec]:
+    """Build the SWAR plan, or None if the program doesn't qualify.
+
+    A position's byte set is the union of every class whose mask contains
+    it (a ``.``-labeled position sits in many classes); positions sharing
+    the same merged byte-run set share one gate computation."""
+    if prog.tier == "sparse" or prog.s_tile != 8 or prog.F is None:
+        return None
+    F8 = np.asarray(prog.F[:8, :8])
+    B8 = [int(w[0]) & 0xFF for w in np.asarray(prog.Bc_words)]
+    lo, hi, cl = prog.byte_runs
+    if len(hi) and int(max(hi)) > 0x7F:  # never for ASCII programs:
+        return None  # byte_class[128:] == 0
+    runs_all = [(int(l), int(h), int(c)) for l, h, c in zip(lo, hi, cl)]
+    bos_c = prog.bos_class if B8[prog.bos_class] else -1
+    eos_c = prog.eos_class if B8[prog.eos_class] else -1
+    gate_ids = {}
+    gates = []
+    gpos = []
+    by_delta = {}
+    has_eos = has_bos = False
+    for u in range(8):
+        preds = tuple(int(s) for s in range(8) if F8[s, u])
+        if not preds:
+            continue
+        cs = {c for c, w in enumerate(B8) if (w >> u) & 1}
+        if not cs:
+            continue
+        key = (
+            _merge_runs([(l, h) for l, h, c in runs_all if c in cs]),
+            bos_c in cs,
+            eos_c in cs,
+        )
+        has_bos = has_bos or key[1]
+        has_eos = has_eos or key[2]
+        gid = gate_ids.get(key)
+        if gid is None:
+            gid = gate_ids[key] = len(gates)
+            gates.append(key)
+        pi = len(gpos)
+        gpos.append((gid, u))
+        for s in preds:
+            by_delta.setdefault(u - s, []).append(pi)
+    diags = tuple((d, tuple(pis)) for d, pis in sorted(by_delta.items()))
+    accept_bits = tuple(
+        int(s) for s in range(8) if np.asarray(prog.accept)[s]
+    )
+    return SwarSpec(
+        tuple(gates), tuple(gpos), diags, accept_bits, has_eos, has_bos
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream packing (XLA, fused into the jitted scan call)
+# ---------------------------------------------------------------------------
+
+
+def _swar_pack(data, T_pad: int, B_pad: int):
+    """[R, L] uint8 raw bytes -> [T_pad // 8, 8 * G8, B_pad] uint32 slab
+    stream. Record r maps to (quad q = r // 4, byte lane k = r % 4) and
+    quad q to (row g8 = q // B_pad, column b = q % B_pad): one quad-local
+    interleave plus one plain 2D uint32 transpose. Stream row t carries
+    byte j = t - 1 (row 0 = BOS step); rows past L are padding. No
+    sentinel/length editing happens here — the kernel gates liveness from
+    the int32 length planes, so padding content is irrelevant."""
+    R, L = data.shape
+    rows = B_pad * RECS
+    if rows != R:
+        data = jnp.pad(data, ((0, rows - R), (0, 0)))
+    q = data.reshape(rows // 4, 4, L).transpose(0, 2, 1)  # [R/4, L, 4]
+    w = jax.lax.bitcast_convert_type(q, jnp.uint32)  # [R/4, L]
+    w = jnp.transpose(w, (1, 0))  # [L, R/4]
+    w = jnp.pad(w, ((1, T_pad - L - 1), (0, 0)))
+    return w.reshape(T_pad, G8, B_pad).reshape(T_pad // 8, 8 * G8, B_pad)
+
+
+def _len_planes(lengths, B_pad: int):
+    """[R] int32 -> [4 * G8, B_pad] per-byte-lane length planes (row
+    k * G8 + g8), matching the packed record layout."""
+    ln = jnp.asarray(lengths, jnp.int32).reshape(G8, B_pad, 4)
+    return ln.transpose(2, 0, 1).reshape(4 * G8, B_pad)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _live_masks(jr, ln64, spec: SwarSpec):
+    """Per-slab liveness assembly: jr [8*G8, B] int32 byte indices (-1 =
+    BOS step), ln64[k] the k-th byte lane's lengths tiled to slab rows.
+    Returns (alive 0xFF-mask, eos 0x80-mask or None, bos 0x80-mask or
+    None, eos 0x01-mask or None)."""
+    u32 = jnp.uint32
+    jru = jr.astype(u32)
+    am = None
+    em = None
+    bm = None
+    for k in range(4):
+        lnu = ln64[k].astype(u32)
+        a = (jru < lnu).astype(u32) * u32(0xFF << (8 * k) & 0xFFFFFFFF)
+        am = a if am is None else am | a
+        if spec.has_eos:
+            e = (jru == lnu).astype(u32) * u32(0x80 << (8 * k) & 0xFFFFFFFF)
+            em = e if em is None else em | e
+    if spec.has_bos:
+        b = (jr == -1).astype(u32) * u32(M80)
+        bm = b
+    return am, em, bm, (em >> 7) if em is not None else None
+
+
+def _gates_slab(d_all, am, em, bm, spec: SwarSpec):
+    """[8 * G8, B] raw bytes (as u32) + liveness masks -> positioned gate
+    masks: gmask[i] has bit ``u`` set per byte iff that record's byte is
+    live and in gate gid's byte set, for (gid, u) = spec.gpos[i].
+    Batched over the slab and pre-shifted to the target bit so the
+    sequential step pays nothing for positioning."""
+    u32 = jnp.uint32
+    dlo = d_all & u32(M7F)
+    noth = (~d_all) & u32(M80)  # bytes >= 0x80 are outside the alphabet
+    raw = []
+    for runs, bos, eos in spec.gates:
+        g = None
+        for lo, hi in runs:
+            ge = (dlo + u32(((0x80 - lo) * M1) & 0xFFFFFFFF)) & u32(M80)
+            le = (u32(((0x80 + hi) * M1) & 0xFFFFFFFF) - dlo) & u32(M80)
+            gg = ge & le
+            g = gg if g is None else g | gg
+        g = (g & noth & am) if g is not None else None
+        if bos and bm is not None:
+            g = bm if g is None else g | bm
+        if eos and em is not None:
+            g = em if g is None else g | em
+        raw.append(g if g is not None else jnp.zeros_like(d_all))
+    return [raw[gid] >> (7 - u) for gid, u in spec.gpos]
+
+
+def _swar_kernel(
+    len_ref,  # [4 * G8, B] int32 per-byte-lane lengths
+    data_ref,  # [T_chunk // 8, 8 * G8, B] uint32 byte slab
+    log_out,  # [T_chunk // 8, G8, B] uint32 accept bit-log
+    v_s,  # scratch [G8, B] uint32 state carry
+    pf_s,  # scratch [G8, B] uint32 previous-step flags ($-dedup carry)
+    *,
+    spec: SwarSpec,
+    seeded: bool,
+    T_chunk: int,
+):
+    j = pl.program_id(1)
+    B = v_s.shape[1]
+    u32 = jnp.uint32
+    seedw = u32(M1)  # the initial state is bit 0 of every record tile
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((G8, B), u32)
+        if spec.has_eos:
+            pf_s[:] = jnp.zeros((G8, B), u32)
+
+    # per-kernel constants: lane lengths tiled to slab rows, byte indices
+    ln64 = [
+        jnp.broadcast_to(
+            len_ref[k * G8 : (k + 1) * G8][None], (8, G8, B)
+        ).reshape(8 * G8, B)
+        for k in range(4)
+    ]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
+
+    def body(i, _):
+        slab = data_ref[i]
+        jr = riota + (j * T_chunk + i * 8 - 1)
+        am, em, bm, eos01 = _live_masks(jr, ln64, spec)
+        gmask = _gates_slab(slab, am, em, bm, spec)
+        v = v_s[:]
+        prev = pf_s[:] if spec.has_eos else None
+        logw = jnp.zeros((G8, B), u32)
+        for m in range(8):
+            tl = j * T_chunk + i * 8 + m
+            if seeded:
+                vv = v | seedw
+            else:
+                vv = jnp.where(tl < 2, v | seedw, v)
+            nxt = None
+            for d, pis in spec.diags:
+                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                for pi in pis[1:]:
+                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
+                t = sh & gm
+                nxt = t if nxt is None else nxt | t
+            v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+            fl = None
+            for s in spec.accept_bits:
+                t = v >> s if s else v
+                fl = t if fl is None else fl | t
+            if fl is not None:
+                fl = fl & u32(M1)
+                if spec.has_eos:
+                    # the EOS step's accept duplicates end == len when the
+                    # final byte step already flagged; emit only if new
+                    emit = fl & ~(prev & eos01[m * G8 : (m + 1) * G8])
+                    prev = fl
+                else:
+                    emit = fl
+                logw = logw | (emit << m if m else emit)
+        log_out[i] = logw
+        v_s[:] = v
+        if spec.has_eos:
+            pf_s[:] = prev
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // 8, body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Bit-log reduction (XLA; one fused pass, no gathers)
+# ---------------------------------------------------------------------------
+
+
+def _swar_stats(log, lengths, *, nullable: bool, seeded: bool, lead: int = 0):
+    """Reduce the accept bit-log to (cnt, first, last, full, any) per
+    record, matching _match_kernel_b's stat semantics: ends are
+    e = min(step, len); the EOS duplicate is already deduped in-kernel;
+    flags beyond step len + 1 are structurally zero (length gating), so
+    only [R]-sized clips touch lengths. ``lead`` > 0 suppresses flags at
+    steps <= lead (windowed mode: the overlap prefix belongs to the
+    previous window). Everything reduces over the word axis in natural
+    layouts — per-k results are concatenated on axis 0, never stacked on
+    a new minor axis (which would poison the whole reduction's layout)."""
+    nTw, _, B_pad = log.shape
+    ln = jnp.asarray(lengths, jnp.int32).reshape(G8, B_pad, 4)
+    ln = jnp.concatenate([ln[:, :, k] for k in range(4)], axis=0)  # [4G8,B]
+    w8 = (jnp.arange(nTw, dtype=jnp.int32) * 8)[:, None, None]
+    pc = jax.lax.population_count
+    if lead:
+        wmask = np.zeros(nTw, np.uint32)
+        for w in range(nTw):
+            keep = 0
+            for b in range(8):
+                if w * 8 + b > lead:
+                    keep |= 1 << b
+            wmask[w] = (keep * M1) & 0xFFFFFFFF
+        log = log & jnp.asarray(wmask)[:, None, None]
+    cnts, firsts, lasts = [], [], []
+    for k in range(4):
+        fk = (log >> (8 * k)) & jnp.uint32(0xFF)
+        cnts.append(pc(fk).astype(jnp.int32).sum(axis=0))
+        nz = fk != 0
+        ctz = pc((fk & (~fk + jnp.uint32(1))) - jnp.uint32(1))
+        firsts.append(
+            jnp.where(nz, w8 + ctz.astype(jnp.int32), BIG).min(axis=0)
+        )
+        y = fk | (fk >> 1)
+        y = y | (y >> 2)
+        y = y | (y >> 4)
+        lasts.append(
+            jnp.where(nz, w8 + pc(y).astype(jnp.int32) - 1, -1).max(axis=0)
+        )
+    cat = lambda xs: jnp.concatenate(xs, axis=0)  # [4 * G8, B_pad]
+    cnt = cat(cnts)
+    first_tl = cat(firsts)
+    last_tl = cat(lasts)
+    anyf = cnt > 0
+    full = anyf & (last_tl >= ln)
+    if nullable:
+        full = full | (ln == 0)
+        if seeded:
+            # every position ends an empty match (closed form, kernel
+            # parity with _match_kernel_b's nullable init); ``last``
+            # still tracks the final raw accept, falling back to len
+            cnt = ln + 1
+            first = jnp.zeros_like(ln)
+            last = jnp.where(last_tl < 0, ln, jnp.minimum(last_tl, ln))
+        else:
+            # end 0 is pre-counted and a step-0 flag duplicates it
+            step0 = (first_tl == 0).astype(jnp.int32)
+            cnt = 1 + cnt - step0
+            first = jnp.zeros_like(ln)
+            last = jnp.maximum(
+                jnp.minimum(jnp.where(last_tl < 0, 0, last_tl), ln), 0
+            )
+    else:
+        first = jnp.where(first_tl >= BIG, -1, jnp.minimum(first_tl, ln))
+        last = jnp.where(last_tl < 0, -1, jnp.minimum(last_tl, ln))
+    # cut fusion before the tiny re-layout to external record order so the
+    # [.., 4]-minor transpose can't poison the reduction's layouts
+    cnt, first, last, full, anyf = jax.lax.optimization_barrier(
+        (cnt, first, last, full, anyf)
+    )
+
+    def ext(x):  # [4 * G8, B_pad] (k-major) -> [R] external (quad-major)
+        return x.reshape(4, G8, B_pad).transpose(1, 2, 0).reshape(-1)
+
+    return ext(cnt), ext(first), ext(last), ext(full), ext(anyf)
+
+
+# ---------------------------------------------------------------------------
+# Scanner
+# ---------------------------------------------------------------------------
+
+
+class SwarScanner(PallasScanner):
+    """PallasScanner with the SWAR fast path on match_stats_b; every other
+    primitive (flags, reverse, anchored rescan, spans) inherits the
+    matmul kernels. Constructed by the engine only when swar_spec(prog)
+    qualifies (s_tile == 8, single accept channel)."""
+
+    def __init__(self, prog, ptables, nullable=None):
+        super().__init__(prog, ptables, nullable=nullable)
+        self.sspec = swar_spec(prog)
+        assert self.sspec is not None
+
+    def _geom_swar(self, L: int, n_cols: int):
+        from ..utils.config import get_config
+
+        cfg = get_config()
+        T = L + 2
+        b_cap = min(B_BLK_MAX, cfg.b_blk_max)
+        br = max(n_cols, 1)
+        nb = -(-br // b_cap)
+        B_blk = min(b_cap, _round_up(-(-br // nb), 128))
+        B_pad = _round_up(br, B_blk)
+        # slab VMEM per fori step = 8 steps x G8 rows x 4 B = 256 B/column
+        t_cap = max(8, STREAM_VMEM_BUDGET * 8 // (256 * B_blk))
+        t_cap = min(_pow2_floor(t_cap), cfg.t_chunk_max)
+        T_chunk = min(max(t_cap, 8), max(8, _round_up(T, 8)))
+        T_pad = _round_up(T, T_chunk)
+        return T, T_pad, B_pad, B_blk, T_chunk
+
+    def _swar_window(self, L: int, B: int, seeded: bool):
+        """(k, w, h) split of long records into k overlapped windows, or
+        None. Exactness argument = engine._window_plan: every match fits
+        in h = horizon bytes, the pattern is anchor-free (so per-window
+        BOS/EOS handling is inert) and non-nullable; flags in the h-byte
+        warm-up prefix belong to the previous window and are suppressed
+        (lead masking in _swar_stats). Unlike the matmul path's opt-in
+        knob, SWAR windows by default: its column count is 2x lower
+        (32 records/column), so tall-narrow batches bind sooner, and the
+        window build is two slice-concats inside the fused jit."""
+        from ..utils.config import get_config
+
+        p = self.prog
+        if not seeded or self.nullable or p.nullable or p.uses_anchor:
+            return None
+        h = p.horizon
+        if h is None or h > 64:
+            return None
+        w_min = max(128, 4 * h)
+        target = get_config().swar_window_cols
+        if not target or L < 2 * w_min:
+            return None
+        cols = -(-B // RECS)
+        if cols >= target:
+            return None
+        k = min(L // w_min, -(-target // cols))
+        if k < 2:
+            return None
+        w = -(-L // k)
+        k = -(-L // w)
+        return (k, w, h) if k >= 2 else None
+
+    def match_stats_b(self, data, len_g, *, seeded: bool, lead: int = 0):
+        if lead:  # engine-driven windowed mode: inherit the matmul path
+            return super().match_stats_b(data, len_g, seeded=seeded, lead=lead)
+        data = jnp.asarray(data)
+        B_rows0, G = len_g.shape
+        B = B_rows0 * G
+        L = data.shape[1]
+        lengths = jnp.asarray(len_g).reshape(-1).astype(jnp.int32)
+        win = self._swar_window(L, B, seeded)
+        if win is not None:
+            k, w, h = win
+            T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar(
+                w + h, -(-(B * k) // RECS)
+            )
+            cnt, first, last, full = self._swar_call_win(
+                data, lengths, k, w, h, T_pad, B_pad, B_blk, T_chunk
+            )
+        else:
+            T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar(
+                L, -(-B // RECS)
+            )
+            cnt, first, last, full = self._swar_call(
+                data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk
+            )
+        sl = lambda x: x[:B].reshape(B_rows0, G)
+        cnt = sl(cnt)
+        return cnt, sl(first), sl(last), sl(full), cnt > 0
+
+    def _run_swar(self, tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk):
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _swar_kernel, spec=self.sspec, seeded=seeded, T_chunk=T_chunk
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                pl.BlockSpec(
+                    (4 * G8, B_blk), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (T_chunk // 8, 8 * G8, B_blk),
+                    lambda i, j: (j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk // 8, G8, B_blk),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (T_pad // 8, G8, B_pad), jnp.uint32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((G8, B_blk), jnp.uint32),
+                pltpu.VMEM((G8, B_blk), jnp.uint32),
+            ],
+            interpret=_interpret(),
+        )(lnT, tm)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk",
+        ),
+    )
+    def _swar_call(self, data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk):
+        R_pad = B_pad * RECS
+        if lengths.shape[0] != R_pad:
+            lengths = jnp.pad(lengths, (0, R_pad - lengths.shape[0]))
+        tm = _swar_pack(data, T_pad, B_pad)
+        lnT = _len_planes(lengths, B_pad)
+        log = self._run_swar(tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk)
+        cnt, first, last, full, _ = _swar_stats(
+            log, lengths, nullable=self.nullable, seeded=seeded
+        )
+        return cnt, first, last, full
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "k", "w", "h", "T_pad", "B_pad", "B_blk", "T_chunk",
+        ),
+    )
+    def _swar_call_win(
+        self, data, lengths, k, w, h, T_pad, B_pad, B_blk, T_chunk
+    ):
+        """Windowed scan: [B, L] records -> [B * k, w + h] overlapped
+        windows, lead = h flags suppressed, per-record reduction of the
+        per-window stats. The window field is built from two slices
+        (heads = the previous window's tail, window 0's head dead-filled)
+        — no strided gathers."""
+        B, L = data.shape
+        main = jnp.pad(data, ((0, 0), (0, k * w - L))).reshape(B, k, w)
+        heads = jnp.concatenate(
+            [
+                jnp.full((B, 1, h), 0xFF, jnp.uint8),
+                main[:, : k - 1, w - h :],
+            ],
+            axis=1,
+        )
+        wind = jnp.concatenate([heads, main], axis=2).reshape(B * k, w + h)
+        off = jnp.arange(k, dtype=jnp.int32)[None, :] * w
+        lnw = jnp.clip(lengths[:, None] + h - off, 0, w + h).reshape(-1)
+        R_pad = B_pad * RECS
+        if lnw.shape[0] != R_pad:
+            lnw = jnp.pad(lnw, (0, R_pad - lnw.shape[0]))
+        tm = _swar_pack(wind, T_pad, B_pad)
+        lnT = _len_planes(lnw, B_pad)
+        log = self._run_swar(tm, lnT, True, T_pad, B_pad, B_blk, T_chunk)
+        cnt, first, last, _, _ = _swar_stats(
+            log, lnw, nullable=False, seeded=True, lead=h
+        )
+        cnt = cnt[: B * k].reshape(B, k)
+        first = first[: B * k].reshape(B, k)
+        last = last[: B * k].reshape(B, k)
+        cnt_rec = cnt.sum(axis=1)
+        fg = jnp.where(first >= 0, first - h + off, BIG)
+        fmin = fg.min(axis=1)
+        first_rec = jnp.where(fmin >= BIG, -1, fmin)
+        lg = jnp.where(last >= 0, last - h + off, -1)
+        last_rec = lg.max(axis=1)
+        # seeded 'full' = some match ends at len = the max end hits len
+        full_rec = (cnt_rec > 0) & (last_rec >= lengths)
+        return cnt_rec, first_rec, last_rec, full_rec

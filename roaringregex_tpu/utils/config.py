@@ -59,6 +59,13 @@ class RrxConfig:
     window_cols: int = field(
         default_factory=lambda: _env_int("RRX_WINDOW_COLS", 0)
     )
+    # SWAR tall-narrow window target (ops/scan_swar.py): split long
+    # records into overlapped windows until the batch is ~this many
+    # 32-record kernel columns wide (exact for bounded-horizon
+    # anchor-free non-nullable patterns); 0 = never window
+    swar_window_cols: int = field(
+        default_factory=lambda: _env_int("RRX_SWAR_WINDOW_COLS", 1024)
+    )
     # banded follow matrices (bounded-repetition chains): apply F^T as
     # <= this many diagonal shift+multiply VPU ops instead of the dense
     # lanes^2 MXU matmul; 0 disables the banded kernels
