@@ -172,7 +172,7 @@ class ScanEngine:
                     )
                 else:
                     swar = None
-                    if accept_map is None and channels_per_record == 1:
+                    if accept_map is None and channels_per_record == 1 and cfg.swar:
                         from .ops import scan_swar as ssw
 
                         if ssw.swar_spec(prog) is not None:
@@ -284,10 +284,15 @@ class ScanEngine:
         no-op) and non-nullable (no empty match at every position)."""
         from .utils.config import get_config
 
+        from .ops.scan_swar import SwarScanner
+
         p = self.prog
         if (
             not seeded
             or not getattr(self._pallas, "byte_window_ok", False)
+            or isinstance(self._pallas, SwarScanner)  # SWAR windows
+            # internally (_swar_window); lead>0 here would silently route
+            # it back to the slower matmul path
             or self.P != 1
             or self._nullable
             or p.nullable

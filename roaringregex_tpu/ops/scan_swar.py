@@ -378,9 +378,12 @@ def _swar_stats(log, lengths, *, nullable: bool, seeded: bool, lead: int = 0):
             first = jnp.zeros_like(ln)
             last = jnp.where(last_tl < 0, ln, jnp.minimum(last_tl, ln))
         else:
-            # end 0 is pre-counted and a step-0 flag duplicates it
+            # end 0 is pre-counted and a step-0 flag duplicates it; on an
+            # empty record EVERY flag clips to end 0 (the EOS step is step
+            # 1 with e = min(1, 0) = 0 — '$'-bearing nullable patterns like
+            # '(a|$)*'), so cnt is exactly the one pre-counted empty match
             step0 = (first_tl == 0).astype(jnp.int32)
-            cnt = 1 + cnt - step0
+            cnt = jnp.where(ln == 0, 1, 1 + cnt - step0)
             first = jnp.zeros_like(ln)
             last = jnp.maximum(
                 jnp.minimum(jnp.where(last_tl < 0, 0, last_tl), ln), 0

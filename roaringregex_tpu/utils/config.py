@@ -59,6 +59,11 @@ class RrxConfig:
     window_cols: int = field(
         default_factory=lambda: _env_int("RRX_WINDOW_COLS", 0)
     )
+    # SWAR bit-packed fast path for s_tile == 8 programs (ops/scan_swar.py)
+    # on/off; RRX_SWAR=0 restores the matmul kernels for A/B diagnosis
+    swar: bool = field(
+        default_factory=lambda: os.environ.get("RRX_SWAR", "1") != "0"
+    )
     # SWAR tall-narrow window target (ops/scan_swar.py): split long
     # records into overlapped windows until the batch is ~this many
     # 32-record kernel columns wide (exact for bounded-horizon

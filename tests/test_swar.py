@@ -31,6 +31,10 @@ PATTERNS = [
     "a.b",  # '.' position spans several byte classes
     "...",
     "(a|.)c",
+    "(a|$)*",  # nullable AND '$' in the first set (empty-record EOS dedup)
+    "$?",
+    "(a$)?",
+    "(^|a)b*",  # nullable AND '^' in the first set
 ]
 
 
@@ -78,6 +82,33 @@ def test_spec_rejects_wide_tiles():
 def test_engine_selects_swar():
     eng = ScanEngine(compile_program("cat|dog"), backend="pallas")
     assert type(eng._pallas).__name__ == "SwarScanner"
+
+
+def test_swar_kill_switch():
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    cfg = get_config()
+    try:
+        set_config(cfg.with_(swar=False))
+        eng = ScanEngine(compile_program("cat|dog"), backend="pallas")
+        assert type(eng._pallas).__name__ == "PallasScanner"
+    finally:
+        set_config(cfg)
+
+
+def test_engine_window_defers_to_swar():
+    # engine-level windowing must not route SwarScanner through the
+    # matmul lead>0 path; SWAR windows internally instead
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    cfg = get_config()
+    try:
+        set_config(cfg.with_(window_cols=4096))
+        eng = ScanEngine(compile_program("cat|dog"), backend="pallas")
+        assert type(eng._pallas).__name__ == "SwarScanner"
+        assert eng._window_plan(4096, 32, True) is None
+    finally:
+        set_config(cfg)
     # wide tiles keep the matmul scanner
     eng2 = ScanEngine(compile_program("a{1,25}"), backend="pallas")
     assert type(eng2._pallas).__name__ == "PallasScanner"
