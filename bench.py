@@ -217,9 +217,11 @@ CONFIGS = {
 }
 
 
-def bench_spans(pattern: str, data, lengths, *, iters: int = 6, pipeline: int = 96):
+def bench_spans(pattern: str, data, lengths, *, iters: int = 6,
+                pipeline: int = 96, make=None):
     """Config 7: full lazy span enumeration on device (reverse pass + span
-    kernel + compaction), O(1) dispatches per batch."""
+    kernel + compaction), O(1) dispatches per batch. Aggregates distinct
+    batches per dispatch on TPU (see bench_scan)."""
     import jax
     import jax.numpy as jnp
 
@@ -227,16 +229,15 @@ def bench_spans(pattern: str, data, lengths, *, iters: int = 6, pipeline: int = 
     from roaringregex_tpu.engine import ScanEngine
 
     prog = compile_program(pattern)
+    agg = 1
     if jax.default_backend() != "tpu":
         pipeline = 2
+    elif make is not None:
+        agg, pipeline = 8, 24
     engine = ScanEngine(prog)
     assert engine._pallas is not None, "span bench needs the pallas backend"
     G = max(1, prog.G)
-    B = data.shape[0]
-    Bp = ((B + G - 1) // G) * G
-    if Bp != B:
-        data = np.concatenate([data, np.zeros((Bp - B, data.shape[1]), np.uint8)])
-        lengths = np.concatenate([lengths, np.zeros(Bp - B, np.int32)])
+    data, lengths = _pad_group(data, lengths, G)
     d = jax.device_put(jnp.asarray(data))
     len_g = jax.device_put(jnp.asarray(lengths).reshape(-1, G))
     cap = 32
@@ -251,29 +252,43 @@ def bench_spans(pattern: str, data, lengths, *, iters: int = 6, pipeline: int = 
     assert int(mx) <= cap, "span cap overflow in bench corpus"
     log(f"  [spans {pattern!r} cap={cap}] compile+first: "
         f"{time.perf_counter()-t0:.1f}s, spans={int(total)}")
-    nbytes = int(lengths.sum())
-    bps = _sustained(lambda: run(d, len_g), nbytes, pipeline=pipeline,
-                     iters=iters)
+    if agg > 1:
+        parts = [(data, lengths)] + [
+            _pad_group(*make(seed=i + 1), G) for i in range(agg - 1)
+        ]
+        da = jax.device_put(jnp.asarray(
+            np.concatenate([p[0] for p in parts])))
+        la = jax.device_put(jnp.asarray(
+            np.concatenate([p[1] for p in parts]).reshape(-1, G)))
+        nbytes = int(sum(int(p[1].sum()) for p in parts))
+        jax.block_until_ready(run(da, la))
+        bps = _sustained(lambda: run(da, la), nbytes, pipeline=pipeline,
+                         iters=iters, single=lambda: run(d, len_g),
+                         single_nbytes=int(lengths.sum()))
+    else:
+        bps = _sustained(lambda: run(d, len_g), int(lengths.sum()),
+                         pipeline=pipeline, iters=iters)
     return bps, int(total)
 
 
-def bench_multi(patterns, data, lengths, *, iters: int = 6, pipeline: int = 64):
-    """Config 6: P patterns in one combined-automaton pass."""
+def bench_multi(patterns, data, lengths, *, iters: int = 6,
+                pipeline: int = 64, make=None):
+    """Config 6: P patterns in one combined-automaton pass. Aggregates
+    distinct batches per dispatch on TPU (see bench_scan)."""
     import jax
     import jax.numpy as jnp
 
     from roaringregex_tpu.api import MultiPattern
 
+    agg = 1
     if jax.default_backend() != "tpu":
         pipeline = 2
+    elif make is not None:
+        agg, pipeline = 8, 24
     mp = MultiPattern(patterns)
     prog = mp.program
     G = max(1, prog.G)
-    B = data.shape[0]
-    Bp = ((B + G - 1) // G) * G
-    if Bp != B:
-        data = np.concatenate([data, np.zeros((Bp - B, data.shape[1]), np.uint8)])
-        lengths = np.concatenate([lengths, np.zeros(Bp - B, np.int32)])
+    data, lengths = _pad_group(data, lengths, G)
     d = jax.device_put(jnp.asarray(data))
     l = jax.device_put(jnp.asarray(lengths))
 
@@ -287,9 +302,22 @@ def bench_multi(patterns, data, lengths, *, iters: int = 6, pipeline: int = 64):
     log(f"  [multi x{len(patterns)} tier={prog.tier} S={prog.n_states} "
         f"G={prog.G} backend={mp.engine.backend}] compile+first: "
         f"{time.perf_counter()-t0:.1f}s, matches={int(total)}")
-    nbytes = int(lengths.sum())
-    bps = _sustained(lambda: run(d, l), nbytes, pipeline=pipeline,
-                     iters=iters)
+    if agg > 1:
+        parts = [(data, lengths)] + [
+            _pad_group(*make(seed=i + 1), G) for i in range(agg - 1)
+        ]
+        da = jax.device_put(jnp.asarray(
+            np.concatenate([p[0] for p in parts])))
+        la = jax.device_put(jnp.asarray(
+            np.concatenate([p[1] for p in parts])))
+        nbytes = int(sum(int(p[1].sum()) for p in parts))
+        jax.block_until_ready(run(da, la))
+        bps = _sustained(lambda: run(da, la), nbytes, pipeline=pipeline,
+                         iters=iters, single=lambda: run(d, l),
+                         single_nbytes=int(lengths.sum()))
+    else:
+        bps = _sustained(lambda: run(d, l), int(lengths.sum()),
+                         pipeline=pipeline, iters=iters)
     return bps, int(total)
 
 
@@ -397,9 +425,11 @@ def main():
             elif cfg.get("sharded"):
                 bps, total = bench_sharded(cfg["pattern"], data, lengths)
             elif cfg.get("multi"):
-                bps, total = bench_multi(cfg["pattern"], data, lengths)
+                bps, total = bench_multi(cfg["pattern"], data, lengths,
+                                         make=mk)
             elif cfg.get("spans"):
-                bps, total = bench_spans(cfg["pattern"], data, lengths)
+                bps, total = bench_spans(cfg["pattern"], data, lengths,
+                                         make=mk)
             else:
                 bps, total = bench_scan(cfg["pattern"], data, lengths,
                                         make=mk)

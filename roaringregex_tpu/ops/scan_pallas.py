@@ -38,6 +38,10 @@ DTYPE = jnp.bfloat16
 B_BLK_MAX = 2048
 T_CHUNK_MAX = 128
 B_BLK_FLAGS = 1024
+# the span kernel adds a [T_chunk, G, B_blk] int32 event block + the int8
+# hits block on top of the byte slab; 1024-column blocks exceed the 16 MB
+# scoped-VMEM limit on large batches (observed at B_pad = 5120)
+B_BLK_SPANS = 512
 STREAM_VMEM_BUDGET = 2 * 1024 * 1024  # bytes per stream block (x2 buffers)
 
 
@@ -2302,7 +2306,7 @@ def _add_byte_path(cls):
         B_rows = len_g.shape[0]
         L = data.shape[1]
         T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(
-            L, B_rows, B_BLK_FLAGS
+            L, B_rows, B_BLK_SPANS
         )
         lenT = self._lenT(len_g, B_pad)
         return self._spans_call_b(
@@ -2390,7 +2394,7 @@ def _add_byte_path(cls):
         B_rows = len_g.shape[0]
         L = data.shape[1]
         T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(
-            L, B_rows, B_BLK_FLAGS
+            L, B_rows, B_BLK_SPANS
         )
         lenT = self._lenT(len_g, B_pad)
         return self._greedy_call_b(
