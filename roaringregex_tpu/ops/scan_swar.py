@@ -318,6 +318,165 @@ def _swar_kernel(
     jax.lax.fori_loop(0, T_chunk // 8, body, 0)
 
 
+def _swar_reverse_kernel(
+    len_ref,  # [4 * G8, B] int32 per-byte-lane lengths
+    data_ref,  # [T_chunk // 8, 8 * G8, B] uint32 byte slab (chunk nT-1-j)
+    log_out,  # [T_chunk // 8, G8, B] uint32 hit bit-log (chunk nT-1-j)
+    r_s,  # scratch [G8, B] uint32 reverse-state carry
+    *,
+    spec: SwarSpec,
+    accm: int,  # OR of M1 << s for accept states s
+    T_chunk: int,
+):
+    """SWAR reverse scan: the matmul _reverse_kernel_b's
+    masked = (R + acc) * bits; Rn = F @ masked; hit = sg @ Rn
+    as masked_d = (R | accm) & gmask_d; Rn = OR_d (masked_d >> d);
+    hit = Rn & M1 (the initial state is bit 0 of every record tile).
+    Walks the stream back-to-front; accept states join at every live
+    step (a match can end anywhere), exactly like the matmul acc_col."""
+    j = pl.program_id(1)
+    B = r_s.shape[1]
+    u32 = jnp.uint32
+    nT = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        r_s[:] = jnp.zeros((G8, B), u32)
+
+    ln64 = [
+        jnp.broadcast_to(
+            len_ref[k * G8 : (k + 1) * G8][None], (8, G8, B)
+        ).reshape(8 * G8, B)
+        for k in range(4)
+    ]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
+    nS = T_chunk // 8
+
+    def body(i, _):
+        iq = nS - 1 - i
+        slab = data_ref[iq]
+        jr = riota + ((nT - 1 - j) * T_chunk + iq * 8 - 1)
+        am, em, bm, _ = _live_masks(jr, ln64, spec)
+        gmask = _gates_slab(slab, am, em, bm, spec)
+        R = r_s[:]
+        logw = jnp.zeros((G8, B), u32)
+        for m in reversed(range(8)):
+            Ra = R | u32(accm)
+            nxt = None
+            for d, pis in spec.diags:
+                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                for pi in pis[1:]:
+                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                t = Ra & gm
+                sh = t if d == 0 else (t >> d if d > 0 else t << -d)
+                nxt = sh if nxt is None else nxt | sh
+            R = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+            hit = R & u32(M1)
+            logw = logw | (hit << m if m else hit)
+        log_out[iq] = logw
+        r_s[:] = R
+        return 0
+
+    jax.lax.fori_loop(0, nS, body, 0)
+
+
+def _swar_span_kernel(
+    len_ref,  # [4 * G8, B] int32 per-byte-lane lengths
+    hits_ref,  # [T_chunk // 8, G8, B] uint32 candidate-start bit-log
+    data_ref,  # [T_chunk // 8, 8 * G8, B] uint32 byte slab
+    ev_out,  # [T_chunk, 4 * G8, B] int32: span start + 1 at emit step
+    v_s,  # scratch [G8, B] uint32 anchored-state carry
+    pos_s,  # scratch [4 * G8, B] int32: next allowed start position
+    cur_s,  # scratch [4 * G8, B] int32: active anchored start (-1 idle)
+    *,
+    spec: SwarSpec,
+    T_chunk: int,
+):
+    """One-pass lazy span enumeration in SWAR form (the matmul
+    _span_kernel_b's claim/anchor/emit loop): the 8-bit anchored
+    automaton advances as diagonal shift/AND/OR on u32 words while the
+    per-record claim bookkeeping (pos, cur) lives on 4 int32 byte-lane
+    planes. Non-nullable patterns only (engine-asserted)."""
+    j = pl.program_id(1)
+    B = v_s.shape[1]
+    u32 = jnp.uint32
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((G8, B), u32)
+        pos_s[:] = jnp.zeros((4 * G8, B), jnp.int32)
+        cur_s[:] = jnp.full((4 * G8, B), -1, jnp.int32)
+
+    ln64 = [
+        jnp.broadcast_to(
+            len_ref[k * G8 : (k + 1) * G8][None], (8, G8, B)
+        ).reshape(8 * G8, B)
+        for k in range(4)
+    ]
+    lnk = [len_ref[k * G8 : (k + 1) * G8] for k in range(4)]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
+
+    def body(i, _):
+        slab = data_ref[i]
+        jr = riota + (j * T_chunk + i * 8 - 1)
+        am, em, bm, _ = _live_masks(jr, ln64, spec)
+        gmask = _gates_slab(slab, am, em, bm, spec)
+        hlog = hits_ref[i]
+        v = v_s[:]
+        pos = [pos_s[k * G8 : (k + 1) * G8] for k in range(4)]
+        cur = [cur_s[k * G8 : (k + 1) * G8] for k in range(4)]
+        for m in range(8):
+            tg = j * T_chunk + i * 8 + m
+            hit01 = (hlog >> m if m else hlog) & u32(M1)
+            sp = jnp.maximum(tg - 1, 0)
+            seedm = jnp.zeros((G8, B), u32)
+            gates = []
+            for k in range(4):
+                hk = ((hit01 >> (8 * k)) & u32(1)).astype(jnp.int32) > 0
+                claim = (cur[k] < 0) & hk & (pos[k] <= sp) & (sp <= lnk[k])
+                cur[k] = jnp.where(claim, sp, cur[k])
+                gate = ((cur[k] == tg - 1) | ((cur[k] == 0) & (tg <= 1))) & (
+                    cur[k] >= 0
+                )
+                gates.append(gate)
+                g32 = gate.astype(u32)
+                seedm = seedm | (g32 << (8 * k) if k else g32)
+            vv = v | seedm
+            nxt = None
+            for d, pis in spec.diags:
+                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                for pi in pis[1:]:
+                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
+                t = sh & gm
+                nxt = t if nxt is None else nxt | t
+            v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+            fl = None
+            for s in spec.accept_bits:
+                t = v >> s if s else v
+                fl = t if fl is None else fl | t
+            fl01 = (fl & u32(M1)) if fl is not None else jnp.zeros((G8, B), u32)
+            killm = jnp.zeros((G8, B), u32)
+            evs = []
+            for k in range(4):
+                fk = ((fl01 >> (8 * k)) & u32(1)).astype(jnp.int32) > 0
+                e = jnp.minimum(tg, lnk[k])
+                done = fk & (cur[k] >= 0) & (e >= cur[k])
+                evs.append(jnp.where(done, cur[k] + 1, 0))
+                pos[k] = jnp.where(done, jnp.maximum(e, cur[k] + 1), pos[k])
+                cur[k] = jnp.where(done, -1, cur[k])
+                d32 = done.astype(u32) * u32(0xFF)
+                killm = killm | (d32 << (8 * k) if k else d32)
+            v = v & ~killm
+            ev_out[i * 8 + m] = jnp.concatenate(evs, axis=0)
+        v_s[:] = v
+        pos_s[:] = jnp.concatenate(pos, axis=0)
+        cur_s[:] = jnp.concatenate(cur, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // 8, body, 0)
+
+
 # ---------------------------------------------------------------------------
 # Bit-log reduction (XLA; one fused pass, no gathers)
 # ---------------------------------------------------------------------------
@@ -418,6 +577,10 @@ class SwarScanner(PallasScanner):
         super().__init__(prog, ptables, nullable=nullable)
         self.sspec = swar_spec(prog)
         assert self.sspec is not None
+        accm = 0
+        for s in self.sspec.accept_bits:
+            accm |= (M1 << s) & 0xFFFFFFFF
+        self._accm = accm
 
     def _geom_swar(self, L: int, n_cols: int):
         from ..utils.config import get_config
@@ -495,6 +658,179 @@ class SwarScanner(PallasScanner):
         sl = lambda x: x[:B].reshape(B_rows0, G)
         cnt = sl(cnt)
         return cnt, sl(first), sl(last), sl(full), cnt > 0
+
+    def _geom_swar_spans(self, L: int, n_cols: int):
+        """Span-path geometry: the [T_chunk, 32, B_blk] int32 event block
+        (128 B/column-step) plus slab (32) and hit log (4) dominate VMEM;
+        cap columns at 512 and fit T_chunk to a ~6 MB block budget."""
+        from ..utils.config import get_config
+
+        cfg = get_config()
+        T = L + 2
+        b_cap = min(512, cfg.b_blk_max)
+        br = max(n_cols, 1)
+        nb = -(-br // b_cap)
+        B_blk = min(b_cap, _round_up(-(-br // nb), 128))
+        B_pad = _round_up(br, B_blk)
+        t_cap = max(8, (6 * 1024 * 1024) // (164 * B_blk))
+        t_cap = min(_pow2_floor(t_cap), cfg.t_chunk_max)
+        T_chunk = min(max(t_cap, 8), max(8, _round_up(T, 8)))
+        T_pad = _round_up(T, T_chunk)
+        return T, T_pad, B_pad, B_blk, T_chunk
+
+    def _swar_reverse_pl(self, tm, lnT, T_pad, B_pad, B_blk, T_chunk):
+        """[T_pad // 8, G8, B_pad] uint32 hit bit-log (back-to-front walk)."""
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _swar_reverse_kernel, spec=self.sspec, accm=self._accm,
+            T_chunk=T_chunk,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                pl.BlockSpec(
+                    (4 * G8, B_blk), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (T_chunk // 8, 8 * G8, B_blk),
+                    lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk // 8, G8, B_blk),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (T_pad // 8, G8, B_pad), jnp.uint32
+            ),
+            scratch_shapes=[pltpu.VMEM((G8, B_blk), jnp.uint32)],
+            interpret=_interpret(),
+        )(lnT, tm)
+
+    def reverse_hits_b(self, data, len_g):
+        """[B, T] start-position hits via the SWAR reverse kernel."""
+        data = jnp.asarray(data)
+        B_rows0, G = len_g.shape
+        B = B_rows0 * G
+        L = data.shape[1]
+        lengths = jnp.asarray(len_g).reshape(-1).astype(jnp.int32)
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar(L, -(-B // RECS))
+        h = self._swar_rev_call(data, lengths, T_pad, B_pad, B_blk, T_chunk)
+        return h[:B, :T]
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("self", "T_pad", "B_pad", "B_blk", "T_chunk"),
+    )
+    def _swar_rev_call(self, data, lengths, T_pad, B_pad, B_blk, T_chunk):
+        R_pad = B_pad * RECS
+        if lengths.shape[0] != R_pad:
+            lengths = jnp.pad(lengths, (0, R_pad - lengths.shape[0]))
+        tm = _swar_pack(data, T_pad, B_pad)
+        lnT = _len_planes(lengths, B_pad)
+        hlog = self._swar_reverse_pl(tm, lnT, T_pad, B_pad, B_blk, T_chunk)
+        # unpack bit-log -> [R, T] bool in external record order
+        nTw, _, Bp = hlog.shape
+        ks = []
+        for k in range(4):
+            fk = (hlog >> (8 * k)) & jnp.uint32(0xFF)
+            bits = (fk[..., None] >> jnp.arange(8, dtype=jnp.uint32)) & 1
+            ks.append(
+                bits.transpose(0, 3, 1, 2).reshape(nTw * 8, G8, Bp)
+            )
+        h = jnp.stack(ks, axis=0)  # [4, T_pad, G8, B_pad]
+        return (
+            h.transpose(2, 3, 0, 1).reshape(G8 * Bp * 4, nTw * 8) > 0
+        )
+
+    def lazy_spans_b(self, data, len_g, *, cap: int):
+        if self.nullable or self.prog.nullable:
+            return super().lazy_spans_b(data, len_g, cap=cap)
+        data = jnp.asarray(data)
+        B_rows0, G = len_g.shape
+        B = B_rows0 * G
+        L = data.shape[1]
+        lengths = jnp.asarray(len_g).reshape(-1).astype(jnp.int32)
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar_spans(
+            L, -(-B // RECS)
+        )
+        s, e, c = self._swar_spans_call(
+            data, lengths, cap, T, T_pad, B_pad, B_blk, T_chunk
+        )
+        return s[:B], e[:B], c[:B]
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "cap", "T", "T_pad", "B_pad", "B_blk", "T_chunk",
+        ),
+    )
+    def _swar_spans_call(
+        self, data, lengths, cap, T, T_pad, B_pad, B_blk, T_chunk
+    ):
+        R_pad = B_pad * RECS
+        if lengths.shape[0] != R_pad:
+            lengths = jnp.pad(lengths, (0, R_pad - lengths.shape[0]))
+        tm = _swar_pack(data, T_pad, B_pad)
+        lnT = _len_planes(lengths, B_pad)
+        hlog = self._swar_reverse_pl(tm, lnT, T_pad, B_pad, B_blk, T_chunk)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _swar_span_kernel, spec=self.sspec, T_chunk=T_chunk
+        )
+        ev = pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                pl.BlockSpec(
+                    (4 * G8, B_blk), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (T_chunk // 8, G8, B_blk), lambda i, j: (j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (T_chunk // 8, 8 * G8, B_blk), lambda i, j: (j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, 4 * G8, B_blk), lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (T_pad, 4 * G8, B_pad), jnp.int32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((G8, B_blk), jnp.uint32),
+                pltpu.VMEM((4 * G8, B_blk), jnp.int32),
+                pltpu.VMEM((4 * G8, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(lnT, hlog, tm)
+        # compaction: event stream -> fixed-capacity span buffers (same
+        # formulation as the matmul _spans_call_b)
+        ev2 = (
+            ev[:T]
+            .reshape(T, 4, G8, B_pad)
+            .transpose(2, 3, 1, 0)
+            .reshape(R_pad, T)
+        )
+        mask = ev2 > 0
+        idx = jnp.cumsum(mask, axis=1) - 1
+        cnt = mask.sum(axis=1)
+        kk = jnp.where(mask & (idx < cap), idx, cap)
+        b = jnp.arange(R_pad)[:, None]
+        neg = jnp.full((R_pad, cap + 1), -1, jnp.int32)
+        starts = neg.at[b, kk].max(jnp.where(mask, ev2 - 1, -1))
+        e_val = jnp.minimum(jnp.arange(T)[None, :], lengths[:, None])
+        ends = neg.at[b, kk].max(jnp.where(mask, e_val, -1))
+        return starts[:, :cap], ends[:, :cap], cnt
 
     def _run_swar(self, tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk):
         nB, nT = B_pad // B_blk, T_pad // T_chunk

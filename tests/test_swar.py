@@ -74,6 +74,37 @@ def test_match_stats_parity(pattern, seeded):
         )
 
 
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_reverse_hits_parity(pattern):
+    prog = compile_program(pattern)
+    tabs = sp.packed_tables(prog)
+    ref = spl.PallasScanner(prog, tabs)
+    sw = ssw.SwarScanner(prog, tabs)
+    data, lengths = _batch(G=prog.G)
+    len_g = jnp.asarray(lengths.reshape(-1, prog.G))
+    a = np.asarray(ref.reverse_hits_b(jnp.asarray(data), len_g))
+    b = np.asarray(sw.reverse_hits_b(jnp.asarray(data), len_g))
+    np.testing.assert_array_equal(a, b[:, : a.shape[1]], err_msg=pattern)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [p for p in PATTERNS if not compile_program(p).nullable],
+)
+def test_lazy_spans_parity(pattern):
+    prog = compile_program(pattern)
+    tabs = sp.packed_tables(prog)
+    ref = spl.PallasScanner(prog, tabs)
+    sw = ssw.SwarScanner(prog, tabs)
+    data, lengths = _batch(G=prog.G)
+    len_g = jnp.asarray(lengths.reshape(-1, prog.G))
+    s1, e1, c1 = ref.lazy_spans_b(jnp.asarray(data), len_g, cap=16)
+    s2, e2, c2 = sw.lazy_spans_b(jnp.asarray(data), len_g, cap=16)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2), err_msg=pattern)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2), err_msg=pattern)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2), err_msg=pattern)
+
+
 def test_spec_rejects_wide_tiles():
     assert ssw.swar_spec(compile_program("(ab|cd)+e{2,3}fgh")) is None
     assert ssw.swar_spec(compile_program("a{1,300}")) is None
