@@ -183,6 +183,27 @@ class ScanEngine:
                             swar = ssw.SwarScanner(
                                 prog, self._ptables, nullable=nullable
                             )
+                    if swar is None and cfg.swar:
+                        from .ops import scan_word as ssw32
+
+                        if (
+                            ssw32.word_spec(
+                                prog,
+                                accept_map=accept_map,
+                                P=channels_per_record,
+                            )
+                            is not None
+                        ):
+                            # u32-word fast path: 9..32-state programs and
+                            # multi-pattern combined automata (one record
+                            # per u32 lane, per-channel accept bit-logs)
+                            swar = ssw32.WordScanner(
+                                prog,
+                                self._ptables,
+                                accept_map=accept_map,
+                                P=channels_per_record,
+                                nullable=nullable,
+                            )
                     self._pallas = swar or spl.PallasScanner(
                         prog, self._ptables, nullable=nullable
                     )
