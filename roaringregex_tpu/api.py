@@ -439,6 +439,13 @@ class MultiPattern:
         self.backend = backend
         nfas = [build_nfa(p) for p in self.patterns]
         self.nullables = np.array([n.nullable for n in nfas])
+        # disjoint position ranges in the combined automaton: pattern p
+        # owns states [off_p + 1, off_p + n_p) (combine_nfas layout)
+        self._ranges = []
+        off = 0
+        for n in nfas:
+            self._ranges.append((off + 1, off + n.n_states))
+            off += n.n_states - 1
         combined, accepts = combine_nfas(nfas)
         self.program = compile_program(combined)
         self._singles: Optional[List[Pattern]] = None
@@ -476,6 +483,29 @@ class MultiPattern:
             self._singles = [Pattern(p, backend=backend) for p in self.patterns]
         elif prog.tier == "sparse" and self.engine._pallas is None:
             self._singles = [Pattern(p, backend=backend) for p in self.patterns]
+        sc = self.engine._pallas
+        if (
+            sc is not None
+            and prog.tier != "sparse"
+            and getattr(sc, "has_anchor", False)
+        ):
+            # span channels: ONE combined scan extracts every pattern's
+            # lazy spans (scan_pallas.lazy_spans_mb) — sgm [C, lanes] =
+            # per-channel first-position projection (F row 0 restricted
+            # to pattern p's positions), posm [lanes, P] position masks
+            s_tile, G, lanes = prog.s_tile, prog.G, prog.lanes
+            F0 = np.asarray(prog.F)[0, :s_tile]
+            sgm = np.zeros((G * P, lanes), np.uint8)
+            posm = np.zeros((lanes, P), np.uint8)
+            for g in range(G):
+                o = g * s_tile
+                for p, (plo, phi) in enumerate(self._ranges):
+                    for s in range(1, s_tile):
+                        if plo <= s < phi:
+                            posm[o + s, p] = 1
+                            if F0[s]:
+                                sgm[g * P + p, o + s] = 1
+            sc.set_span_channels(sgm, posm, P)
 
     # ------------------------------------------------------------------
     def _pack(self, texts: Sequence[TextLike]):
@@ -522,9 +552,59 @@ class MultiPattern:
     ) -> List[List[List[Tuple[int, int]]]]:
         """[P][B] non-overlapping span lists, one per pattern. The
         non-overlap policy (lazy leftmost-shortest / greedy POSIX) is
-        defined *within* one pattern, so extraction runs per pattern —
-        the single-pass combined automaton only accelerates the boolean /
-        counting entry points above."""
+        defined *within* one pattern, but with disjoint position subspaces
+        all P lazy extractions run concurrently in ONE combined scan
+        (scan_pallas.lazy_spans_mb: one channel reverse pass + one channel
+        span pass — dispatch count independent of P). Greedy extraction
+        and non-pallas backends fall back to per-pattern runs; nullable
+        patterns' lazy spans are the closed-form empty-match set."""
+        sc = self.engine._pallas
+        if longest or sc is None or not getattr(sc, "spanP", None):
+            return self._finditer_per_pattern(texts, longest=longest)
+        data, lengths, B = self._pack(texts)
+        G = self.program.G
+        len_g = np.asarray(lengths).reshape(-1, G)
+        # pre-size span caps from the combined counting pass (every span
+        # ends at a distinct match-end position)
+        cnt0 = self.count_batch(texts)
+        live = ~self.nullables
+        mx = int(cnt0[:, live].max()) if B and live.any() else 0
+        maxlen = int(lengths[:B].max()) if B else 0
+        cap = _pow2(min(max(mx, 1), maxlen + 1 if maxlen else 1))
+        s_buf, e_buf, cnt = sc.lazy_spans_mb(data, len_g, cap=cap)
+        s_np = np.asarray(s_buf)
+        e_np = np.asarray(e_buf)
+        c_np = np.asarray(cnt)
+        if live.any() and int(c_np[:B][:, live].max(initial=0)) > cap:
+            # unreachable safety net (cap is pre-sized from the counting
+            # pass); never silently truncate
+            return self._finditer_per_pattern(texts, longest=longest)
+        out: List[List[List[Tuple[int, int]]]] = []
+        for p in range(self.P):
+            if self.nullables[p]:
+                out.append(
+                    [
+                        [(q, q) for q in range(int(lengths[i]) + 1)]
+                        for i in range(B)
+                    ]
+                )
+                continue
+            out.append(
+                [
+                    list(
+                        zip(
+                            s_np[i, p, : c_np[i, p]].tolist(),
+                            e_np[i, p, : c_np[i, p]].tolist(),
+                        )
+                    )
+                    for i in range(B)
+                ]
+            )
+        return out
+
+    def _finditer_per_pattern(
+        self, texts: Sequence[TextLike], *, longest: bool
+    ) -> List[List[List[Tuple[int, int]]]]:
         if self._spanners is None:
             self._spanners = self._singles or [
                 Pattern(p, backend=self.backend) for p in self.patterns

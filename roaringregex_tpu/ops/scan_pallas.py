@@ -1662,6 +1662,163 @@ def _span_kernel_b(
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
 
 
+def _reverse_kernel_mb(
+    len_ref,  # [G, B] int32
+    data_ref,  # [T_chunk // r, r * G, B] uint8 (chunk nT-1-j of the stream)
+    f_ref,  # [lanes, lanes] bf16 (F_bd, untransposed)
+    sgm_ref,  # [C, lanes] bf16: per-channel first-position projection
+    acc_ref,  # [lanes, 1] bf16
+    hits_out,  # [T_chunk, C, B] int8: per-channel candidate starts
+    r_s,
+    *,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    spec,
+):
+    """Per-channel reverse scan for the multi-pattern combined automaton.
+
+    The single-channel kernel's hit = sg @ (F @ masked) factors as
+    (sg @ F) @ masked; with disjoint per-pattern position sets the row
+    sg @ F = first-set indicator splits by pattern, so ONE reverse pass
+    yields P candidate-start streams: hit_c = sgm_c @ masked where
+    sgm_(g,p) = F[0, :] restricted to pattern p's positions in group g
+    (api.MultiPattern builds sgm). Everything else matches
+    _reverse_kernel_b."""
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    G = len_ref.shape[0]
+    B = r_s.shape[1]
+    acc_col = jnp.broadcast_to(acc_ref[:], (lanes, B)).astype(DTYPE)
+    lens = len_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        r_s[:] = jnp.zeros((lanes, B), DTYPE)
+
+    def body(i, _):
+        iq = T_chunk // r - 1 - i
+        slab = data_ref[iq]
+        R = r_s[:]
+        for m in reversed(range(r)):
+            d = slab[m * G : (m + 1) * G]
+            tg = (nT - 1 - j) * T_chunk + iq * r + m
+            b16 = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
+            )
+            masked = (R + acc_col) * b16
+            hit = (
+                jnp.dot(
+                    sgm_ref[:], masked, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            R = jnp.dot(
+                f_ref[:], masked, preferred_element_type=jnp.float32
+            ).astype(DTYPE)
+            hits_out[iq * r + m] = hit.astype(jnp.int8)
+        r_s[:] = (R.astype(jnp.float32) > 0).astype(DTYPE)
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+
+def _span_kernel_mb(
+    len_ref,  # [G, B] int32
+    hits_ref,  # [T_chunk, C, B] int8: per-channel candidate-start stream
+    data_ref,  # [T_chunk // r, r * G, B] uint8
+    ft_ref,
+    c0m_ref,  # [lanes, P] bf16: per-pattern seed columns (ft @ seed) * posm
+    at_ref,  # [C, lanes]
+    posm_ref,  # [lanes, P] bf16: per-pattern position-lane masks
+    ev_out,  # [T_chunk, C, B] int32: span start + 1 at its emit step
+    v_s,
+    pos_s,  # [C, B] int32: next allowed start position per channel
+    cur_s,  # [C, B] int32: active anchored start per channel (-1 idle)
+    *,
+    T_chunk: int,
+    r: int,
+    lanes: int,
+    s_tile: int,
+    P: int,
+    spec,
+):
+    """Multi-channel lazy span enumeration: P patterns' claim/anchor/emit
+    loops run concurrently in ONE forward walk — each pattern's anchored
+    threads live in its own (disjoint) position subspace of the shared
+    combined automaton, so the two matmuls are shared and only the
+    per-channel bookkeeping (claim, seed gate, emit, kill) multiplies by
+    P. Nullable channels' outputs are garbage by design (their empty-
+    match policy is closed-form host-side); callers ignore them."""
+    j = pl.program_id(1)
+    G = len_ref.shape[0]
+    C = G * P
+    B = v_s.shape[1]
+    lens = len_ref[:]
+    # per-channel lengths: channel (g, p) scans record g
+    lensC = jnp.broadcast_to(lens[:, None, :], (G, P, B)).reshape(C, B)
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((lanes, B), DTYPE)
+        pos_s[:] = jnp.zeros((C, B), jnp.int32)
+        cur_s[:] = jnp.full((C, B), -1, jnp.int32)
+
+    def body(i, _):
+        slab = data_ref[i]
+        v = v_s[:]
+        for m in range(r):
+            d = slab[m * G : (m + 1) * G]
+            tg = j * T_chunk + i * r + m
+            hit = hits_ref[i * r + m].astype(jnp.int32) > 0
+            sp = jnp.maximum(tg - 1, 0)
+            cur = cur_s[:]
+            claim = (cur < 0) & hit & (sp >= pos_s[:]) & (sp <= lensC)
+            cur = jnp.where(claim, sp, cur)
+            gate = ((cur == tg - 1) | ((cur == 0) & (tg <= 1))) & (cur >= 0)
+            gr = gate.astype(DTYPE).reshape(G, P, B)
+            y = jnp.dot(
+                ft_ref[:], v, preferred_element_type=jnp.float32
+            ).astype(DTYPE)
+            for p in range(P):
+                glp = jnp.broadcast_to(
+                    gr[:, p][:, None, :], (G, s_tile, B)
+                ).reshape(lanes, B)
+                y = y + glp * jnp.broadcast_to(
+                    c0m_ref[:, p : p + 1], (lanes, B)
+                )
+            b16 = _bits_from_bytes(
+                d, tg, lens, spec, s_tile=s_tile, G=G, B=B, dtype=DTYPE
+            )
+            v = y * b16
+            fl = (
+                jnp.dot(
+                    at_ref[:], v, preferred_element_type=jnp.float32
+                ).astype(jnp.float32)
+                > 0
+            )
+            e = jnp.minimum(tg, lensC)
+            done = fl & (cur >= 0) & (e >= cur)
+            ev_out[i * r + m] = jnp.where(done, cur + 1, 0)
+            pos_s[:] = jnp.where(done, jnp.maximum(e, cur + 1), pos_s[:])
+            cur_s[:] = jnp.where(done, -1, cur)
+            dr = done.astype(DTYPE).reshape(G, P, B)
+            km = None
+            for p in range(P):
+                kp = jnp.broadcast_to(
+                    dr[:, p][:, None, :], (G, s_tile, B)
+                ).reshape(lanes, B) * jnp.broadcast_to(
+                    posm_ref[:, p : p + 1], (lanes, B)
+                )
+                km = kp if km is None else km + kp
+            v = v * (1 - km)  # kill the emitted channels' threads
+        v_s[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+
 def _sparse_match_kernel_b(
     len_ref,  # [1, B]
     data_ref,  # [T_chunk // r, r, B] uint8 (G = 1)
@@ -2382,6 +2539,150 @@ def _add_byte_path(cls):
         ends = neg.at[b, kk].max(jnp.where(mask, e_val, -1))
         return starts[:, :cap], ends[:, :cap], cnt
 
+    def set_span_channels(self, sgm: np.ndarray, posm: np.ndarray, P: int):
+        """Install the per-pattern span-channel tables (api.MultiPattern):
+        ``sgm`` [C, lanes] first-position projections, ``posm`` [lanes, P]
+        position-lane masks. Enables lazy_spans_mb."""
+        self.sgm = jnp.asarray(sgm, DTYPE)
+        self.posm = jnp.asarray(posm, DTYPE)
+        c0m = np.asarray(self.c0, np.float32) * np.asarray(posm, np.float32)
+        self.c0m = jnp.asarray(c0m, DTYPE)
+        self.spanP = P
+
+    def lazy_spans_mb(self, data, len_g, *, cap: int):
+        """Per-channel lazy spans from ONE combined scan: one channel
+        reverse pass + one channel span pass + compaction, dispatch count
+        independent of P (VERDICT r3 #2). Returns (starts [Bn, P, cap],
+        ends [Bn, P, cap], count [Bn, P]); nullable channels' rows are
+        meaningless (caller substitutes the closed-form empty-match
+        spans)."""
+        assert getattr(self, "spanP", None), "set_span_channels first"
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(
+            L, B_rows, B_BLK_SPANS
+        )
+        lenT = self._lenT(len_g, B_pad)
+        return self._spans_call_mb(
+            data, lenT, cap, L, T, T_pad, B_pad, B_blk, T_chunk, r
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "cap", "L", "T", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _spans_call_mb(
+        self, data, lenT, cap, L, T, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        G, lanes, P = self.Gp, self.lanes, self.spanP
+        C = G * P
+        B_rows = data.shape[0] // G
+        tm = _time_major(data, G, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        rkernel = functools.partial(
+            _reverse_kernel_mb,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+        )
+        gspec = pl.BlockSpec(
+            (G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        dspec_rev = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        hits = pl.pallas_call(
+            rkernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec_rev,
+                _full_spec((lanes, lanes)),
+                _full_spec((C, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, C, B_blk),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, C, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((lanes, B_blk), DTYPE)],
+            interpret=_interpret(),
+        )(lenT, tm, self.f, self.sgm, self.acc)
+        skernel = functools.partial(
+            _span_kernel_mb,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            P=P,
+            spec=self.spec,
+        )
+        hspec = pl.BlockSpec(
+            (T_chunk, C, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * G, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        ev = pl.pallas_call(
+            skernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                hspec,
+                dspec,
+                _full_spec((lanes, lanes)),
+                _full_spec((lanes, P)),
+                _full_spec((C, lanes)),
+                _full_spec((lanes, P)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, C, B_blk), lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, C, B_pad), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, B_blk), DTYPE),
+                pltpu.VMEM((C, B_blk), jnp.int32),
+                pltpu.VMEM((C, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(lenT, hits, tm, self.ft, self.c0m, self.at, self.posm)
+        # compaction per (record, pattern) channel
+        Bn = B_rows * G
+        ev2 = (
+            ev[:T, :, :B_rows]
+            .reshape(T, G, P, B_rows)
+            .transpose(3, 1, 2, 0)
+            .reshape(Bn * P, T)
+        )
+        lens = jnp.asarray(lenT)[:, :B_rows].transpose(1, 0).reshape(Bn)
+        lensP = jnp.repeat(lens, P)
+        mask = ev2 > 0
+        idx = jnp.cumsum(mask, axis=1) - 1
+        cnt = mask.sum(axis=1)
+        kk = jnp.where(mask & (idx < cap), idx, cap)
+        b = jnp.arange(Bn * P)[:, None]
+        neg = jnp.full((Bn * P, cap + 1), -1, jnp.int32)
+        starts = neg.at[b, kk].max(jnp.where(mask, ev2 - 1, -1))
+        e_val = jnp.minimum(jnp.arange(T)[None, :], lensP[:, None])
+        ends = neg.at[b, kk].max(jnp.where(mask, e_val, -1))
+        return (
+            starts[:, :cap].reshape(Bn, P, cap),
+            ends[:, :cap].reshape(Bn, P, cap),
+            cnt.reshape(Bn, P),
+        )
+
     def greedy_spans_b(self, data, len_g, *, cap: int):
         """Greedy (leftmost-longest) spans on device: one reverse pass for
         the candidate-start bitmap, then a lax.while_loop of anchored
@@ -2482,6 +2783,9 @@ def _add_byte_path(cls):
     cls._anchor_call_b = _anchor_call_b
     cls.lazy_spans_b = lazy_spans_b
     cls._spans_call_b = _spans_call_b
+    cls.set_span_channels = set_span_channels
+    cls.lazy_spans_mb = lazy_spans_mb
+    cls._spans_call_mb = _spans_call_mb
     cls.greedy_spans_b = greedy_spans_b
     cls._greedy_call_b = _greedy_call_b
 

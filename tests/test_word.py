@@ -88,6 +88,38 @@ def test_engine_selects_word_tier():
     assert type(eng8._pallas).__name__ == "SwarScanner"
 
 
+def test_multipattern_finditer_combined_scan():
+    """finditer_batch runs ONE combined scan (lazy_spans_mb) and matches
+    per-pattern extraction exactly, nullable channels included."""
+    from roaringregex_tpu.api import MultiPattern, Pattern
+
+    pats = ["cat|dog", "[0-9]{3}", "(er)*", "ab(cd)*e"]  # one nullable
+    mp = MultiPattern(pats, backend="pallas")
+    assert getattr(mp.engine._pallas, "spanP", None) == 4
+    texts = [
+        b"the cat sat on a dog", b"error 4041 erer", b"abcdcdcde abe",
+        b"", b"x" * 25, b"cat999dogerer", b"abe abcde", b"dogcat",
+    ]
+    got = mp.finditer_batch(texts)
+    for p, pat in enumerate(pats):
+        want = Pattern(pat, backend="pallas").finditer_batch(texts)
+        assert got[p] == want, pat
+
+
+def test_multipattern_finditer_greedy_fallback():
+    from roaringregex_tpu.api import MultiPattern, Pattern
+
+    pats = ["cat|dog", "[0-9]{3}"]
+    mp = MultiPattern(pats, backend="pallas")
+    texts = [b"cat99 dog123", b"", b"9999"]
+    got = mp.finditer_batch(texts, longest=True)
+    for p, pat in enumerate(pats):
+        want = Pattern(pat, backend="pallas").finditer_batch(
+            texts, longest=True
+        )
+        assert got[p] == want, pat
+
+
 def test_multipattern_channels_parity():
     """MultiPattern through the engine (WordScanner accept channels) vs
     per-pattern single scans."""
