@@ -214,6 +214,10 @@ CONFIGS = {
     9: dict(pattern="a{1,300}", rec_len=0,
             name="ONE long string, bounded-rep (counting windows)",
             longstr=True),
+    # the reference's namesake tier (Parser.cpp:165-168): >1024-state
+    # non-counting automaton through the roaring-style container kernels
+    10: dict(pattern="(ab|cd){1,400}", rec_len=1024,
+             name="sparse tier >1024 states (non-counting)"),
 }
 
 
@@ -235,7 +239,7 @@ def bench_spans(pattern: str, data, lengths, *, iters: int = 6,
     elif make is not None:
         agg, pipeline = 8, 24
     engine = ScanEngine(prog)
-    assert engine._pallas is not None, "span bench needs the pallas backend"
+    assert engine.device_scanner is not None, "span bench needs the pallas backend"
     G = max(1, prog.G)
     data, lengths = _pad_group(data, lengths, G)
     d = jax.device_put(jnp.asarray(data))
@@ -243,7 +247,7 @@ def bench_spans(pattern: str, data, lengths, *, iters: int = 6,
     cap = 32
 
     def run(d, len_g):
-        s, e, cnt = engine._pallas.lazy_spans_b(d, len_g, cap=cap)
+        s, e, cnt = engine.device_scanner.lazy_spans_b(d, len_g, cap=cap)
         return jnp.sum(cnt), jnp.max(cnt)
 
     run = jax.jit(run)
@@ -359,33 +363,59 @@ def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
 
 
 def bench_sharded(pattern: str, data, lengths, *, iters: int = 6,
-                  pipeline: int = 96):
+                  pipeline: int = 96, make=None):
     """Config 5: DistScanner over the full device mesh (tables replicated,
     records sharded, stats psum-reduced). On this 1-chip environment the
     mesh has a single device; the multi-chip path itself is validated by
-    __graft_entry__.dryrun_multichip on a virtual mesh."""
+    __graft_entry__.dryrun_multichip on a virtual mesh. Aggregates
+    distinct batches per dispatch on TPU like bench_scan — the sharded
+    path must pay the same per-dispatch overhead as config 1, not more
+    (VERDICT r3 #7: one-device shard_map overhead)."""
     import jax
 
     from roaringregex_tpu.compiler.program import compile_program
     from roaringregex_tpu.parallel import DistScanner, make_mesh, shard_batch
 
+    agg = 1
     if jax.default_backend() != "tpu":
         pipeline = 2
+    elif make is not None:
+        agg, pipeline = 8, 24
     prog = compile_program(pattern)
     mesh = make_mesh()
     scanner = DistScanner(prog, mesh)
     D = mesh.devices.size
-    B = (data.shape[0] // D) * D
-    data, lengths = data[:B], lengths[:B]
+
+    def clip(dl):
+        da, la = dl
+        B = (da.shape[0] // D) * D
+        return da[:B], la[:B]
+
+    data, lengths = clip((data, lengths))
     d, l = shard_batch(mesh, data, lengths)
     run = jax.jit(scanner.global_stats, static_argnames=("seeded",))
     t0 = time.perf_counter()
     total, nrec, nbytes = jax.block_until_ready(run(d, l, seeded=True))
     log(f"  [config5 mesh={D}dev] compile+first: {time.perf_counter()-t0:.1f}s, "
         f"matches={int(total)} records={int(nrec)}")
-    nb = int(lengths.sum())
-    bps = _sustained(lambda: run(d, l, seeded=True), nb, pipeline=pipeline,
-                     iters=iters)
+    if agg > 1:
+        parts = [(data, lengths)] + [clip(make(seed=i + 1))
+                                     for i in range(agg - 1)]
+        da, la = shard_batch(
+            mesh,
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+        nb = int(sum(int(p[1].sum()) for p in parts))
+        jax.block_until_ready(run(da, la, seeded=True))
+        bps = _sustained(lambda: run(da, la, seeded=True), nb,
+                         pipeline=pipeline, iters=iters,
+                         single=lambda: run(d, l, seeded=True),
+                         single_nbytes=int(lengths.sum()))
+    else:
+        nb = int(lengths.sum())
+        bps = _sustained(lambda: run(d, l, seeded=True), nb,
+                         pipeline=pipeline, iters=iters)
     return bps, int(total)
 
 
@@ -423,7 +453,8 @@ def main():
             if cfg.get("longstr"):
                 bps, total = bench_longstr(cfg["pattern"], data, lengths)
             elif cfg.get("sharded"):
-                bps, total = bench_sharded(cfg["pattern"], data, lengths)
+                bps, total = bench_sharded(cfg["pattern"], data, lengths,
+                                           make=mk)
             elif cfg.get("multi"):
                 bps, total = bench_multi(cfg["pattern"], data, lengths,
                                          make=mk)

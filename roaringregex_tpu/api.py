@@ -471,6 +471,10 @@ class MultiPattern:
             for g in range(G):
                 for p in range(P):
                     A[g * s_tile : (g + 1) * s_tile, g * P + p] = acc_tile[p]
+        # public accept-channel map ([lanes, G*P] dense / [s_pad, P]
+        # sparse): the first-class way to build a DistScanner or custom
+        # engine over this combined automaton (no private-attr reads)
+        self.accept_map = A
         self.engine = ScanEngine(
             prog,
             backend=backend,
@@ -478,12 +482,12 @@ class MultiPattern:
             channels_per_record=P,
             nullable=False,  # nullable channels corrected host-side
         )
-        if self.engine._pallas is None and self.engine._ptables is None:
+        if self.engine.device_scanner is None and not self.engine.packed:
             # unpacked XLA fallback has a single accept channel
             self._singles = [Pattern(p, backend=backend) for p in self.patterns]
-        elif prog.tier == "sparse" and self.engine._pallas is None:
+        elif prog.tier == "sparse" and self.engine.device_scanner is None:
             self._singles = [Pattern(p, backend=backend) for p in self.patterns]
-        sc = self.engine._pallas
+        sc = self.engine.device_scanner
         if (
             sc is not None
             and prog.tier != "sparse"
@@ -558,7 +562,7 @@ class MultiPattern:
         span pass — dispatch count independent of P). Greedy extraction
         and non-pallas backends fall back to per-pattern runs; nullable
         patterns' lazy spans are the closed-form empty-match set."""
-        sc = self.engine._pallas
+        sc = self.engine.device_scanner
         if longest or sc is None or not getattr(sc, "spanP", None):
             return self._finditer_per_pattern(texts, longest=longest)
         data, lengths, B = self._pack(texts)

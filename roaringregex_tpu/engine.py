@@ -208,6 +208,22 @@ class ScanEngine:
                         prog, self._ptables, nullable=nullable
                     )
 
+    # ------------------------------------------------------------------
+    # Public backend introspection (the supported way for api.py / bench
+    # harnesses to reach the device scanner — no private-attr reads)
+    # ------------------------------------------------------------------
+    @property
+    def device_scanner(self):
+        """The selected device kernel scanner (PallasScanner / CountScanner
+        / SparseScanner / SwarScanner / WordScanner), or None when this
+        engine runs the unpacked XLA path."""
+        return self._pallas
+
+    @property
+    def packed(self) -> bool:
+        """True when the engine holds lane-packed tables (dense tiers)."""
+        return self._ptables is not None
+
     @staticmethod
     def _multiblock_container_wins(prog, cfg) -> bool:
         """True if the multiblock program's per-step container MACs

@@ -30,6 +30,32 @@ from ..ops import scan_xla as sx
 DATA_AXIS = "data"
 
 
+def _halo_buf(own, tail, *, C: int, H: int, D: int, axis: str):
+    """Halo exchange for a contiguous-chunk sharded stream.
+
+    ``own`` is this device's [C]-byte chunk of a global stream laid out as
+    D contiguous chunks + a replicated [H] ``tail`` (positions D*C..D*C+H).
+    Returns the [C+H] slice starting at this device's global offset: the
+    lookahead bytes are fetched from the right neighbours with
+    ``lax.ppermute`` (ICI within a slice, DCN across hosts) — per-device
+    HBM stays O(n/D + H) instead of the O(n) a replicated stream costs.
+    Positions past the end of the chunked region fall back to ``tail``.
+    """
+    parts = [own]
+    k = -(-H // C) if C else 0
+    for i in range(1, k + 1):
+        hs = min(C, H - (i - 1) * C)
+        perm = [(s, (s - i) % D) for s in range(D)]
+        parts.append(jax.lax.ppermute(own[:hs], axis, perm))
+    buf = jnp.concatenate(parts)[: C + H] if parts[1:] else own[: C + H]
+    idx = jax.lax.axis_index(axis).astype(jnp.int32)
+    g = idx * C + jnp.arange(C + H, dtype=jnp.int32)
+    wrap = jnp.clip(g - D * C, 0, max(H - 1, 0))
+    if H == 0:
+        return buf
+    return jnp.where(g < D * C, buf, tail[wrap])
+
+
 def init_multihost(coordinator: Optional[str] = None, **kw) -> None:
     """Initialize jax.distributed for a multi-host run; fail fast on error
     (SURVEY.md §5: minimum failure-detection requirement)."""
@@ -298,6 +324,11 @@ class DistScanner:
            host round trip between stages, one dispatch total.
 
         Returns flags [T = len+2] (the ops/longstring.py convention).
+
+        The raw byte stream is **sharded** over the data axis (each device
+        holds only its nb/D blocks ≈ n/D bytes) and the BOS/EOS/dead class
+        encoding runs *inside* the SPMD program on each shard's own blocks
+        — no replicated O(n) array exists at any point.
         """
         import numpy as _np
 
@@ -306,39 +337,40 @@ class DistScanner:
         prog = self.prog
         tables = ls.compact_tables(prog) if self.dense else self.tables
         n = len(text_bytes)
-        data = _np.frombuffer(bytes(text_bytes), dtype=_np.uint8)
-        cls = sx.encode_stream(
-            tables,
-            jnp.asarray(data)[None, :],
-            jnp.asarray([n]),
-            prog.bos_class,
-            prog.eos_class,
-            prog.dead_class,
-        )[0]
-        T = cls.shape[0]
+        T = n + 2
         D = self.mesh.devices.size
         nb = -(-T // block)
         nb = ((nb + D - 1) // D) * D  # block count divisible by mesh size
-        cls_b = jnp.pad(cls, (0, nb * block - T)).reshape(nb, block)
+        rb = _np.zeros(nb * block, dtype=_np.uint8)
+        rb[1 : 1 + n] = _np.frombuffer(bytes(text_bytes), dtype=_np.uint8)
         first_gate = (jnp.arange(nb) == 0).astype(jnp.float32)
         shard2 = NamedSharding(self.mesh, P(self.axis, None))
         shard1 = NamedSharding(self.mesh, P(self.axis))
-        cls_sharded = jax.device_put(cls_b, shard2)
+        rb_sharded = jax.device_put(rb.reshape(nb, block), shard2)
+        # no halo: summary blocks are non-overlapping (per-device = n/D)
+        self.last_stream_geom = (
+            (nb // D) * block,
+            0,
+            rb_sharded.sharding.shard_shape(rb_sharded.shape),
+        )
         fg_sharded = jax.device_put(first_gate, shard1)
         tb_rep = jax.tree.map(
             lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), tables
         )
         s_pad = int(tables["accept"].shape[0])
         flags_b = self._long_flags_spmd(
-            tb_rep, cls_sharded, fg_sharded, s_pad=s_pad, seeded=seeded
+            tb_rep, rb_sharded, fg_sharded, s_pad=s_pad, seeded=seeded, n=n
         )
         return np.asarray(flags_b).reshape(-1)[:T]
 
-    @functools.partial(jax.jit, static_argnames=("self", "s_pad", "seeded"))
-    def _long_flags_spmd(self, tables, cls_b, first_gate, *, s_pad, seeded):
+    @functools.partial(
+        jax.jit, static_argnames=("self", "s_pad", "seeded", "n")
+    )
+    def _long_flags_spmd(self, tables, rb_b, first_gate, *, s_pad, seeded, n):
         from ..ops import longstring as ls
 
         axis = self.axis
+        prog = self.prog
 
         @functools.partial(
             jax.shard_map,
@@ -347,8 +379,25 @@ class DistScanner:
             out_specs=self._spec_in,
             check_vma=False,
         )
-        def _go(tb, cb, fg):
-            nb_l = cb.shape[0]
+        def _go(tb, rb, fg):
+            nb_l, blk = rb.shape
+            # in-shard class encoding: byte->class gather + BOS/EOS/dead
+            # sentinels by global stream position (stream layout: BOS at
+            # position 0, bytes at 1..n, EOS at n+1, dead filler after)
+            off = jax.lax.axis_index(axis).astype(jnp.int32) * (nb_l * blk)
+            pos = off + jnp.arange(nb_l * blk, dtype=jnp.int32).reshape(
+                nb_l, blk
+            )
+            cls = jnp.take(tb["byte_class"], rb.astype(jnp.int32), axis=0)
+            cb = jnp.where(
+                pos == 0,
+                prog.bos_class,
+                jnp.where(
+                    pos == n + 1,
+                    prog.eos_class,
+                    jnp.where(pos > n + 1, prog.dead_class, cls),
+                ),
+            )
             Ms, ss = ls.block_summaries(tb, cb, fg, s_pad=s_pad, seeded=seeded)
             Ms_all = jax.lax.all_gather(Ms, axis, tiled=True)  # [nb, S, S]
             ss_all = jax.lax.all_gather(ss, axis, tiled=True)  # [nb, S]
@@ -359,7 +408,7 @@ class DistScanner:
             )
             return ls.block_replay(tb, cb, ve_local, fg, seeded=seeded)
 
-        return _go(tables, cls_b, first_gate)
+        return _go(tables, rb_b, first_gate)
 
     def long_count(self, text_bytes, *, block: int = 4096) -> int:
         """Distinct match-end positions in one sharded long string."""
@@ -429,22 +478,25 @@ class DistScanner:
         if self.prog.nullable:
             return n + 1 if mode == "count" else True
 
-        def data0():
+        def host_bytes():
             return (
-                jnp.asarray(np.frombuffer(text_bytes, np.uint8))
+                np.frombuffer(text_bytes, np.uint8)
                 if isinstance(text_bytes, (bytes, bytearray))
-                else jnp.asarray(text_bytes)
+                else np.asarray(text_bytes, np.uint8)
             )
 
         cls = self._long_count_scanner()
         if cls is not None and n > 0:
             # counting-plan patterns: run-length windows sharded over the
             # data axis, one psum (no EOS tail — counting accepts are
-            # byte-step only)
-            rep = NamedSharding(self.mesh, P())
-            total = self._long_count_spmd(
-                jax.device_put(data0(), rep), n=n, cls=cls
-            )
+            # byte-step only). The stream itself is sharded: each device
+            # holds its C = nw_dev*blk chunk; the H-byte window lookahead
+            # arrives by ppermute halo exchange inside the SPMD program.
+            blk, lead, _, _, _, _, C, H = self._cls_geom(n, cls)
+            ext = np.full(self.mesh.devices.size * C + H, 128, np.uint8)
+            ext[lead : lead + n] = host_bytes()  # 0x80 = dead filler
+            X, R = self._shard_stream(ext, C, H)
+            total = self._long_count_spmd(X, R, n=n, cls=cls)
             return int(total) if mode == "count" else bool(int(total) > 0)
         fls = self._long_fast_scanner()
         if fls is None:
@@ -452,50 +504,92 @@ class DistScanner:
                 return self.long_count(text_bytes)
             flags = self.long_flags(text_bytes, seeded=True)
             return bool((flags[: n + 2] > 0).any())
-        rep = NamedSharding(self.mesh, P())
-        total, tail = self._long_stats_spmd(
-            jax.device_put(data0(), rep), n=n, fls=fls
-        )
+        o = fls.overlap
+        *_, C, H = self._fls_geom(n, fls)
+        ext = np.zeros(self.mesh.devices.size * C + H, np.uint8)
+        ext[o + 1 : o + 1 + n] = host_bytes()
+        X, R = self._shard_stream(ext, C, H)
+        total, tail = self._long_stats_spmd(X, R, n=n, fls=fls)
         if mode == "count":
             return int(total) + int(bool(tail))
         return bool(int(total) > 0 or bool(tail))
 
-    @functools.partial(jax.jit, static_argnames=("self", "n", "cls"))
-    def _long_count_spmd(self, data, *, n: int, cls):
-        """Sharded counting windows: each device owns nw_dev windows of
-        ``cls.block`` payload bytes (+ ``cls.lead`` re-scanned context),
-        runs the run-length kernels locally, and ONE psum reduces the
-        match-end counts — the whole scan is a single SPMD program."""
+    # -- sharded-stream geometry + placement ------------------------------
+    def _cls_geom(self, n: int, cls):
+        """(blk, lead, nw, Lw, nseg, nw_dev, C, H) for the counting-window
+        sharded stream: per-device chunk C bytes + halo H bytes."""
         from ..ops.longstring import count_window_geom
 
         blk, lead = cls.block, cls.lead
         D = self.mesh.devices.size
         nw, Lw, nseg = count_window_geom(n, blk, lead)
         nw_dev = -(-nw // D)
-        ext_len = (D * nw_dev + nseg) * blk
-        ext = jnp.full(ext_len, 128, jnp.uint8)  # 0x80 = dead filler
-        ext = jax.lax.dynamic_update_slice(ext, data, (lead,))
+        return blk, lead, nw, Lw, nseg, nw_dev, blk * nw_dev, blk * nseg
+
+    def _fls_geom(self, n: int, fls):
+        """(blk, npw, T_pad, B_pad, B_blk, T_chunk, r, nseg, C, H) for the
+        overlapped-window sharded stream. The window size is mesh-aware:
+        the kernel batch floor is 128 rows x G windows per device, so for
+        short strings the block shrinks (like FastLongScanner._ov_block)
+        to keep the per-device chunk ~n/D instead of a fixed padded
+        128*G*block bytes."""
+        G, o = fls.G, fls.overlap
+        D = self.mesh.devices.size
+        T = n + 2
+        blk = -(-T // (D * 128 * G))
+        blk = max(256, 8 * o, -(-blk // 128) * 128)
+        blk = min(blk, fls.block)
+        nb = -(-T // blk)
+        rows_dev = -(-(-(-nb // D)) // G)
+        T_pad, B_pad, B_blk, T_chunk, r = fls._geom(blk + o, rows_dev, G)
+        npw = B_pad * G  # windows per device, padded
+        nseg = -(-T_pad // blk)
+        return blk, npw, T_pad, B_pad, B_blk, T_chunk, r, nseg, npw * blk, T_pad
+
+    def _shard_stream(self, ext: np.ndarray, C: int, H: int):
+        """Place a [D*C + H] host stream as a [D, C] chunk-sharded array
+        plus a replicated [H] tail. Per-device HBM = C + H bytes ≈ n/D +
+        overlap — asserted by ``__graft_entry__.dryrun_multichip`` via
+        ``last_stream_geom``."""
+        D = self.mesh.devices.size
+        assert ext.shape[0] == D * C + H, (ext.shape, D, C, H)
+        X = jax.device_put(
+            ext[: D * C].reshape(D, C),
+            NamedSharding(self.mesh, P(self.axis, None)),
+        )
+        R = jax.device_put(ext[D * C :], NamedSharding(self.mesh, P()))
+        self.last_stream_geom = (C, H, X.sharding.shard_shape(X.shape))
+        return X, R
+
+    @functools.partial(jax.jit, static_argnames=("self", "n", "cls"))
+    def _long_count_spmd(self, X, R, *, n: int, cls):
+        """Sharded counting windows: each device owns nw_dev windows of
+        ``cls.block`` payload bytes (+ ``cls.lead`` re-scanned context),
+        runs the run-length kernels locally, and ONE psum reduces the
+        match-end counts — the whole scan is a single SPMD program. The
+        byte stream arrives chunk-sharded ([D, C] X + [H] tail R); each
+        device ppermutes in its H-byte lookahead halo."""
+        blk, lead, _, Lw, nseg, nw_dev, C, H = self._cls_geom(n, cls)
+        D = self.mesh.devices.size
         axis = self.axis
 
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(),),
+            in_specs=(self._spec_in, P()),
             out_specs=P(),
             check_vma=False,
         )
-        def _go(ext_rep):
-            w0 = jax.lax.axis_index(axis).astype(jnp.int32) * nw_dev
-            seg = jax.lax.dynamic_slice(
-                ext_rep, (w0 * blk,), ((nw_dev + nseg) * blk,)
-            )
+        def _go(Xl, tail):
+            buf = _halo_buf(Xl[0], tail, C=C, H=H, D=D, axis=axis)
             win = jnp.concatenate(
                 [
-                    seg[i * blk : (i + nw_dev) * blk].reshape(nw_dev, blk)
+                    buf[i * blk : (i + nw_dev) * blk].reshape(nw_dev, blk)
                     for i in range(nseg)
                 ],
                 axis=1,
             )[:, :Lw]
+            w0 = jax.lax.axis_index(axis).astype(jnp.int32) * nw_dev
             w = w0 + jnp.arange(nw_dev, dtype=jnp.int32)
             lens = lead + jnp.clip(n - w * blk, 0, blk)
             cnt, _, _, _, _ = cls.cs.match_stats_b(
@@ -503,36 +597,30 @@ class DistScanner:
             )
             return jax.lax.psum(jnp.sum(cnt), axis)
 
-        return _go(ext)
+        return _go(X, R)
 
     @functools.partial(jax.jit, static_argnames=("self", "n", "fls"))
-    def _long_stats_spmd(self, data, *, n: int, fls):
-        G, lanes, blk, o = fls.G, fls.lanes, fls.block, fls.overlap
+    def _long_stats_spmd(self, X, R, *, n: int, fls):
+        G, lanes, o = fls.G, fls.lanes, fls.overlap
+        blk, npw, T_pad, B_pad, B_blk, T_chunk, r, nseg, C, H = (
+            self._fls_geom(n, fls)
+        )
         D = self.mesh.devices.size
-        T = n + 2
-        nb = -(-T // blk)
-        rows_dev = -(-(-(-nb // D)) // G)
-        T_pad, B_pad, B_blk, T_chunk, r = fls._geom(blk + o, rows_dev, G)
-        npw = B_pad * G  # windows per device, padded
-        # replicated padded byte stream: window w local step t reads
-        # de[w*blk + t] (lead = o + 1, FastLongScanner._window_tm)
-        ext = D * npw * blk + T_pad
-        de = jnp.zeros(ext, jnp.uint8).at[o + 1 : o + 1 + n].set(data)
-        nseg = -(-T_pad // blk)
         axis = self.axis
 
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(),),
+            in_specs=(self._spec_in, P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def _go(de_rep):
+        def _go(Xl, halo_tail):
+            # window w local step t reads stream[w*blk + t] (lead = o + 1,
+            # FastLongScanner._window_tm); this device's windows start at
+            # w0*blk = its chunk offset, so buf IS its window segment
             w0 = jax.lax.axis_index(axis).astype(jnp.int32) * npw
-            seg = jax.lax.dynamic_slice(
-                de_rep, (w0 * blk,), (npw * blk + T_pad,)
-            )
+            seg = _halo_buf(Xl[0], halo_tail, C=C, H=H, D=D, axis=axis)
             wb = jnp.concatenate(
                 [
                     seg[i * blk : i * blk + npw * blk].reshape(npw, blk)
@@ -560,4 +648,4 @@ class DistScanner:
             tail_any = jax.lax.psum(jnp.sum(tail), axis) > 0
             return total, tail_any
 
-        return _go(de)
+        return _go(X, R)

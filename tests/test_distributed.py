@@ -133,7 +133,7 @@ def test_multipattern_sharded(mesh):
     mp = MultiPattern(["err(or)?", "[0-9]{2}"])
     scanner = DistScanner(
         mp.program, mesh,
-        accept_map=np.asarray(mp.engine._ptables["A"]),
+        accept_map=mp.accept_map,
         channels_per_record=mp.P, nullable=False,
     )
     recs = [b"error 42", b"err", b"12 fine", b"nothing"] * 4
@@ -200,6 +200,50 @@ def test_long_stats_sharded_counting(mesh):
             want = len(orc.ends(t))
             assert ds.long_stats(t, mode="count") == want, (pat, len(t))
             assert ds.long_stats(t, mode="any") == (want > 0), (pat, len(t))
+
+
+def test_long_stream_sharded_placement(mesh):
+    """The long-string stream is chunk-sharded, not replicated: each
+    device holds C = ~n/D (block-granular) payload bytes plus the H-byte
+    halo fetched by ppermute inside the SPMD program — asserted via the
+    recorded placement geometry on all three sharded long paths."""
+    D = mesh.devices.size
+    t = bytes((np.arange(20000) % 26 + 97).astype(np.uint8))
+
+    # overlapped-window path: per-device chunk = n/D plus at most the
+    # kernel batch floor (128 rows x G windows x >=256-byte blocks)
+    ds = DistScanner(compile_program("cat|dog"), mesh)
+    fls = ds._long_fast_scanner()
+    assert fls is not None
+    fls.block = 512
+    ds.long_stats(t, mode="count")
+    C, H, shard_shape = ds.last_stream_geom
+    assert int(np.prod(shard_shape)) == C
+    assert C <= len(t) // D + 128 * fls.G * fls.block, (C, H)
+    # scaling: at 64 MB the chunk is ~n/D + one batch block, not O(n)
+    n_big = 64_000_000
+    blk, npw, T_pad, B_pad, B_blk, T_chunk, r, nseg, C2, H2 = ds._fls_geom(
+        n_big, fls
+    )
+    assert C2 * D + H2 >= n_big + 2, "chunks must cover the stream"
+    assert C2 <= n_big // D + B_blk * fls.G * blk, (C2, n_big // D)
+
+    # counting-window path
+    dc = DistScanner(compile_program("a{1,300}"), mesh)
+    cls = dc._long_count_scanner()
+    assert cls is not None
+    cls.block = 256
+    dc.long_stats(t, mode="count")
+    C, H, shard_shape = dc.last_stream_geom
+    assert shard_shape == (1, C)
+    assert C <= len(t) // D + cls.block, (C, H)
+
+    # summary+replay path (cyclic pattern): blocks sharded, no halo
+    dr = DistScanner(compile_program("(ab)*c"), mesh)
+    dr.long_count(t, block=512)
+    C, H, shard_shape = dr.last_stream_geom
+    assert H == 0 and int(np.prod(shard_shape)) == C
+    assert C <= len(t) // D + 512, (C, shard_shape)
 
 
 def test_long_stats_sharded_wide_tile(mesh):

@@ -140,8 +140,9 @@ def test_engine_window_defers_to_swar():
         assert eng._window_plan(4096, 32, True) is None
     finally:
         set_config(cfg)
-    # wide tiles keep the matmul scanner
-    eng2 = ScanEngine(compile_program("a{1,25}"), backend="pallas")
+    # wide tiles (> 32 states: past the u32-word tier too) keep the
+    # matmul scanner
+    eng2 = ScanEngine(compile_program("a{1,40}"), backend="pallas")
     assert type(eng2._pallas).__name__ == "PallasScanner"
 
 
