@@ -171,10 +171,17 @@ def bench_scan(pattern: str, data, lengths, *, iters: int = 10,
     # warmup / compile
     t0 = time.perf_counter()
     total, nrec = jax.block_until_ready(run(d, l))
+    compile_s = time.perf_counter() - t0
     log(f"  [{pattern!r} tier={prog.tier} S={prog.n_states} G={prog.G} "
         f"backend={engine.backend}] compile+first run: "
-        f"{time.perf_counter()-t0:.1f}s, "
+        f"{compile_s:.1f}s, "
         f"matches={int(total)} matched_records={int(nrec)}")
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(d, l))
+    if time.perf_counter() - t0 > 0.05:
+        # compute-bound config (e.g. the sparse container kernels):
+        # deep pipelining only stretches the wall clock
+        pipeline = min(pipeline, 4)
 
     if agg > 1:
         parts = [(data, lengths)] + [
@@ -215,9 +222,14 @@ CONFIGS = {
             name="ONE long string, bounded-rep (counting windows)",
             longstr=True),
     # the reference's namesake tier (Parser.cpp:165-168): >1024-state
-    # non-counting automaton through the roaring-style container kernels
-    10: dict(pattern="(ab|cd){1,400}", rec_len=1024,
-             name="sparse tier >1024 states (non-counting)"),
+    # non-counting automaton through the roaring-style container kernels.
+    # The branches have UNEQUAL lengths (abc=3, de=2) so the stride-k
+    # chain plan cannot apply — equal-length bodies like (ab|cd){1,400}
+    # route to the run-length counting tier instead (counting_plan).
+    # no_agg: the container kernels are compute-bound (~230 ms / 10 MB),
+    # so dispatch aggregation only multiplies the compile time
+    10: dict(pattern="(abc|de){1,300}", rec_len=1024,
+             name="sparse tier >1024 states (non-counting)", no_agg=True),
 }
 
 
@@ -462,8 +474,10 @@ def main():
                 bps, total = bench_spans(cfg["pattern"], data, lengths,
                                          make=mk)
             else:
-                bps, total = bench_scan(cfg["pattern"], data, lengths,
-                                        make=mk)
+                bps, total = bench_scan(
+                    cfg["pattern"], data, lengths,
+                    make=None if cfg.get("no_agg") else mk,
+                )
         except (AssertionError, NotImplementedError) as e:
             # e.g. config 7 needs the device span kernels (TPU pallas);
             # keep --all usable on CPU-only environments

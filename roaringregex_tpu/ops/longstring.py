@@ -731,8 +731,8 @@ class CountLongScanner:
         from . import scan_pallas as spl
 
         self.prog = prog
-        self.m, self.n, self.body = plan
-        self.k = len(self.body)
+        self.m, self.n, self.body = plan  # body = R branch bodies
+        self.k = len(self.body[0])
         mm = max(self.m, 1)
         self.lead = mm * self.k
         self.block = max(block, -(-4 * self.lead // 128) * 128)
@@ -831,11 +831,17 @@ class CountLongScanner:
             return jnp.bool_(False)
         from .scan_pallas import _in_class
 
-        ok = jnp.bool_(True)
-        for q in range(k):
-            d = data[q::k].astype(jnp.int32)
-            ok = ok & jnp.all(_in_class(d, self.body[q]))
-        return ok
+        # copy c (bytes c*k..c*k+k-1) must match SOME branch; the whole
+        # string matches iff every copy does
+        occ = None
+        for br in self.body:
+            bok = None
+            for q in range(k):
+                d = data[q::k].astype(jnp.int32)
+                t = _in_class(d, br[q])
+                bok = t if bok is None else (bok & t)
+            occ = bok if occ is None else (occ | bok)
+        return jnp.all(occ)
 
     def fullmatch(self, text) -> bool:
         data, n = self._data(text)
@@ -888,13 +894,17 @@ class CountLongScanner:
         position (run-length analysis, no scan kernels)."""
         n = arr.shape[0]
         k = self.k
-        occ = np.ones(max(n - k + 1, 0), bool)
-        for q, runs in enumerate(self.body):
-            a = arr[q : q + occ.shape[0]]
-            ok = np.zeros_like(occ)
-            for lo, hi in runs:
-                ok |= (a >= lo) & (a <= hi)
-            occ &= ok
+        nocc = max(n - k + 1, 0)
+        occ = np.zeros(nocc, bool)
+        for br in self.body:  # copy starts here iff SOME branch matches
+            bok = np.ones(nocc, bool)
+            for q, runs in enumerate(br):
+                a = arr[q : q + nocc]
+                ok = np.zeros(nocc, bool)
+                for lo, hi in runs:
+                    ok |= (a >= lo) & (a <= hi)
+                bok &= ok
+            occ |= bok
         C = np.zeros(n + k, np.int64)  # C[s] = occ[s] ? 1 + C[s+k] : 0
         for r in range(k):  # suffix recurrence, vectorized per phase
             o = occ[r::k] if r < occ.shape[0] else np.zeros(0, bool)

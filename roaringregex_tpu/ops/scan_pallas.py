@@ -3526,10 +3526,13 @@ _add_longstring_calls(PallasScanner)
 
 
 def counting_plan(prog: DeviceProgram):
-    """Detect ``X{m,n}`` where X is a fixed-length body of symbol classes
-    (``a{3,1200}``, ``(ab){2,600}``, ``([a-c][0-9]){4,}``) and return the
-    run-length plan ``(m, n_or_0, body)`` — body is a tuple of per-position
-    byte-run tuples, k = len(body) <= 8 — else None.
+    """Detect ``X{m,n}`` where X is a fixed-length body — a sequence of
+    symbol classes (``a{3,1200}``, ``(ab){2,600}``, ``([a-c][0-9]){4,}``)
+    or an alternation of equal-length such sequences
+    (``(ab|cd){1,400}``) — and return the run-length plan
+    ``(m, n_or_0, branches)``: branches is a tuple of R <= 4 branch
+    bodies, each a tuple of per-position byte-run tuples, all the same
+    length k <= 8. Returns None when the pattern has another shape.
 
     The Glushkov follow matrix of such patterns is a dense triangle
     (every repetition past the m-th is optional, so each position follows
@@ -3540,8 +3543,12 @@ def counting_plan(prog: DeviceProgram):
     whole subset simulation collapses to one integer per record: the
     number of consecutive body copies ending at the cursor (a run-length
     recurrence at stride k), with accept iff run >= m. Body occurrence is
-    tracked with k-1 rolling prefix-progress bits — no follow matmul."""
-    from ..compiler.parser import BOS, EOS, Concat, Lit, Repeat, parse
+    tracked with R*(k-1) rolling per-branch prefix-progress bits — no
+    follow matmul. (For X{m,n} with a fixed-length body, any chain of
+    r >= m consecutive copies ending at e contains a min(r, n)-copy
+    suffix chain, so the n bound never changes the seeded ends set —
+    only the anchored/unseeded gates use it.)"""
+    from ..compiler.parser import BOS, EOS, Alt, Concat, Lit, Repeat, parse
 
     try:
         node = parse(prog.pattern)
@@ -3554,31 +3561,54 @@ def counting_plan(prog: DeviceProgram):
     child = node.child
     while isinstance(child, Concat) and len(child.parts) == 1:
         child = child.parts[0]
-    parts = list(child.parts) if isinstance(child, Concat) else [child]
-    if not 1 <= len(parts) <= 8:
+    alts = list(child.parts) if isinstance(child, Alt) else [child]
+    if not 1 <= len(alts) <= 4:
         return None
-    body = []
-    for p in parts:
-        while isinstance(p, Concat) and len(p.parts) == 1:
-            p = p.parts[0]
-        if not isinstance(p, Lit):
+
+    def branch_body(b):
+        while isinstance(b, Concat) and len(b.parts) == 1:
+            b = b.parts[0]
+        parts = list(b.parts) if isinstance(b, Concat) else [b]
+        if not 1 <= len(parts) <= 8:
             return None
-        syms = p.syms
-        if BOS in syms or EOS in syms:
+        body = []
+        for p in parts:
+            while isinstance(p, Concat) and len(p.parts) == 1:
+                p = p.parts[0]
+            if not isinstance(p, Lit):
+                return None
+            syms = p.syms
+            if BOS in syms or EOS in syms:
+                return None
+            bs = sorted(syms)
+            runs = []
+            lo = prev = bs[0]
+            for b2 in bs[1:]:
+                if b2 == prev + 1:
+                    prev = b2
+                else:
+                    runs.append((lo, prev))
+                    lo = prev = b2
+            runs.append((lo, prev))
+            body.append(tuple(runs))
+        return tuple(body)
+
+    branches = []
+    for a in alts:
+        bb = branch_body(a)
+        if bb is None:
             return None
-        bs = sorted(syms)
-        runs = []
-        lo = prev = bs[0]
-        for b in bs[1:]:
-            if b == prev + 1:
-                prev = b
-            else:
-                runs.append((lo, prev))
-                lo = prev = b
-        runs.append((lo, prev))
-        body.append(tuple(runs))
+        branches.append(bb)
+    k = len(branches[0])
+    if any(len(b) != k for b in branches[1:]):
+        return None  # unequal branch lengths: stride-k chain breaks
+    branches = tuple(dict.fromkeys(branches))  # dedup identical branches
+    if k == 1:
+        # single-position branches are one merged class (OR of runs)
+        branches = (tuple(r for b in branches for r in b[0]),)
+        branches = ((branches[0],),)
     n = 0 if node.hi is None else int(node.hi)
-    return int(node.lo), n, tuple(body)
+    return int(node.lo), n, branches
 
 
 def _in_class(d, runs):
@@ -3591,21 +3621,34 @@ def _in_class(d, runs):
 
 def _count_step(rb_s, pb_s, hits, GC, k, cap):
     """Shared stride-k run-length step: body-occurrence from rolling
-    prefix-progress bits, run from the k-lagged buffer. Returns (occ, r)
-    and rotates both buffers."""
+    per-branch prefix-progress bits, run from the k-lagged buffer.
+    ``hits[r][q]`` = byte matches branch r's position-q class. Returns
+    (occ, run) and rotates both buffers. pb_s layout is branch-major:
+    branch r's bits p_1..p_{k-1} live at rows [r*(k-1)*GC, (r+1)*(k-1)*GC)."""
+    R = len(hits)
     if k == 1:
-        occ = hits[0]
+        occ = hits[0][0]
+        for br in range(1, R):
+            occ = occ | hits[br][0]
         r_lag = rb_s[:]
     else:
-        pb = pb_s[:]  # p_1..p_{k-1} of the previous step
-        occ = (pb[(k - 2) * GC : (k - 1) * GC] > 0) & hits[k - 1]
-        new_p = [hits[0].astype(jnp.int32)]
-        for q in range(2, k):
-            new_p.append(
-                (
-                    (pb[(q - 2) * GC : (q - 1) * GC] > 0) & hits[q - 1]
-                ).astype(jnp.int32)
-            )
+        pb = pb_s[:]  # per-branch p_1..p_{k-1} of the previous step
+        occ = None
+        new_p = []
+        for br in range(R):
+            base = br * (k - 1) * GC
+            o = (
+                pb[base + (k - 2) * GC : base + (k - 1) * GC] > 0
+            ) & hits[br][k - 1]
+            occ = o if occ is None else (occ | o)
+            new_p.append(hits[br][0].astype(jnp.int32))
+            for q in range(2, k):
+                new_p.append(
+                    (
+                        (pb[base + (q - 2) * GC : base + (q - 1) * GC] > 0)
+                        & hits[br][q - 1]
+                    ).astype(jnp.int32)
+                )
         pb_s[:] = jnp.concatenate(new_p, axis=0)
         r_lag = rb_s[0:GC]  # r[tg - k]
     r = jnp.where(occ, jnp.minimum(r_lag + 1, cap), 0)
@@ -3677,7 +3720,8 @@ def _count_match_kernel(
     nT = pl.num_programs(1)
     lens = len_ref[:]
     GC = lens.shape[0]
-    k = len(body_runs)
+    k = len(body_runs[0])
+    R = len(body_runs)
     mm = max(m, 1)
     cap = n if n else mm
 
@@ -3706,7 +3750,10 @@ def _count_match_kernel(
         d = data_ref[i].astype(jnp.int32)  # [GC, B]
         tg = j * T_chunk + i
         valid = (tg >= 1) & (tg <= lens)
-        hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
+        hits = [
+            [_in_class(d, br[q]) & valid for q in range(k)]
+            for br in body_runs
+        ]
         occ, r = _count_step(rb_s, pb_s, hits, GC, k, cap)
         if seeded:
             fl = r >= mm
@@ -3750,7 +3797,8 @@ def _count_flags_kernel(
     j = pl.program_id(1)
     lens = len_ref[:]
     GC = lens.shape[0]
-    k = len(body_runs)
+    k = len(body_runs[0])
+    R = len(body_runs)
     mm = max(m, 1)
     cap = n if n else mm
 
@@ -3764,7 +3812,10 @@ def _count_flags_kernel(
         d = data_ref[i].astype(jnp.int32)
         tg = j * T_chunk + i
         valid = (tg >= 1) & (tg <= lens)
-        hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
+        hits = [
+            [_in_class(d, br[q]) & valid for q in range(k)]
+            for br in body_runs
+        ]
         occ, r = _count_step(rb_s, pb_s, hits, GC, k, cap)
         if seeded:
             fl = r >= mm
@@ -3793,7 +3844,8 @@ def _count_reverse_kernel(
     nT = pl.num_programs(1)
     lens = len_ref[:]
     GC = lens.shape[0]
-    k = len(body_runs)
+    k = len(body_runs[0])
+    R = len(body_runs)
     mm = max(m, 1)
 
     @pl.when(j == 0)
@@ -3806,20 +3858,33 @@ def _count_reverse_kernel(
         d = data_ref[iq].astype(jnp.int32)
         tg = (nT - 1 - j) * T_chunk + iq
         valid = (tg >= 1) & (tg <= lens)
-        hits = [_in_class(d, body_runs[q]) & valid for q in range(k)]
+        hits = [
+            [_in_class(d, br[q]) & valid for q in range(k)]
+            for br in body_runs
+        ]
         if k == 1:
-            occ = hits[0]
+            occ = hits[0][0]
+            for br in range(1, R):
+                occ = occ | hits[br][0]
             r_lag = rb_s[:]
         else:
-            pb = pb_s[:]  # q_1..q_{k-1} of step tg+1
-            occ = hits[0] & (pb[(k - 2) * GC : (k - 1) * GC] > 0)
-            new_q = [hits[k - 1].astype(jnp.int32)]
-            for q in range(2, k):
-                new_q.append(
-                    (
-                        hits[k - q] & (pb[(q - 2) * GC : (q - 1) * GC] > 0)
-                    ).astype(jnp.int32)
+            pb = pb_s[:]  # per-branch q_1..q_{k-1} of step tg+1
+            occ = None
+            new_q = []
+            for br in range(R):
+                base = br * (k - 1) * GC
+                o = hits[br][0] & (
+                    pb[base + (k - 2) * GC : base + (k - 1) * GC] > 0
                 )
+                occ = o if occ is None else (occ | o)
+                new_q.append(hits[br][k - 1].astype(jnp.int32))
+                for q in range(2, k):
+                    new_q.append(
+                        (
+                            hits[br][k - q]
+                            & (pb[base + (q - 2) * GC : base + (q - 1) * GC] > 0)
+                        ).astype(jnp.int32)
+                    )
             pb_s[:] = jnp.concatenate(new_q, axis=0)
             r_lag = rb_s[(k - 1) * GC :]  # r_rev[tg + k]
         r = jnp.where(occ, jnp.minimum(r_lag + 1, mm), 0)
@@ -3847,8 +3912,9 @@ class CountScanner:
 
     def __init__(self, prog: DeviceProgram, plan, nullable: "bool | None" = None):
         self.prog = prog
-        self.m, self.n, self.body = plan
-        self.k = len(self.body)
+        self.m, self.n, self.body = plan  # body = R branch bodies
+        self.k = len(self.body[0])
+        self.R = len(self.body)
         self.nullable = prog.nullable if nullable is None else nullable
 
     # -- geometry ----------------------------------------------------------
@@ -3936,7 +4002,7 @@ class CountScanner:
             scratch_shapes=[
                 pltpu.VMEM((self.k * GC, B_blk), jnp.int32),  # rb
                 pltpu.VMEM((self.k * GC, B_blk), jnp.int32),  # ab
-                pltpu.VMEM((max(self.k - 1, 1) * GC, B_blk), jnp.int32),  # pb
+                pltpu.VMEM((max(self.R * (self.k - 1), 1) * GC, B_blk), jnp.int32),  # pb
             ]
             + [pltpu.VMEM((GC, B_blk), jnp.int32)] * 4,
             interpret=_interpret(),
@@ -3991,7 +4057,7 @@ class CountScanner:
             scratch_shapes=[
                 pltpu.VMEM((self.k * GC, B_blk), jnp.int32),
                 pltpu.VMEM((self.k * GC, B_blk), jnp.int32),
-                pltpu.VMEM((max(self.k - 1, 1) * GC, B_blk), jnp.int32),
+                pltpu.VMEM((max(self.R * (self.k - 1), 1) * GC, B_blk), jnp.int32),
             ],
             interpret=_interpret(),
         )(lenT, tm)
@@ -4036,7 +4102,7 @@ class CountScanner:
             out_shape=jax.ShapeDtypeStruct((T_pad, GC, B_pad), jnp.int8),
             scratch_shapes=[
                 pltpu.VMEM((self.k * GC, B_blk), jnp.int32),
-                pltpu.VMEM((max(self.k - 1, 1) * GC, B_blk), jnp.int32),
+                pltpu.VMEM((max(self.R * (self.k - 1), 1) * GC, B_blk), jnp.int32),
             ],
             interpret=_interpret(),
         )(lenT, tm)

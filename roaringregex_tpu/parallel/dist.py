@@ -435,7 +435,7 @@ class DistScanner:
             cls = False
             if (
                 plan is not None
-                and max(plan[0], 1) * len(plan[2]) <= 1 << 16
+                and max(plan[0], 1) * len(plan[2][0]) <= 1 << 16
             ):
                 cls = CountLongScanner(self.prog, plan)
             self._cls = cls

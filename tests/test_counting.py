@@ -22,7 +22,11 @@ from roaringregex_tpu.ops.scan_pallas import (
 from roaringregex_tpu.oracle.engine import OracleEngine
 
 COUNTING = ["a{1,300}", "a{3,280}", "[a-c]{2,400}", "a{270,}", "x{0,300}",
-            "a{300}", "a{3,1200}"]
+            "a{300}", "a{3,1200}",
+            # alternation bodies (equal-length branches): the family the
+            # VERDICT's sparse-tier example (ab|cd){1,400} belongs to
+            "(ab|cd){1,400}", "(ab|cx){2,280}", "(a|b){2,300}",
+            "(abc|xbc|bca){1,200}"]
 
 
 def _pack(texts):
@@ -37,7 +41,7 @@ def _pack(texts):
     return data, lens
 
 
-def _texts(rng, alphabet=b"abx", n=24, maxlen=500):
+def _texts(rng, alphabet=b"abcdx", n=24, maxlen=500):
     ts = [
         bytes(rng.choice(list(alphabet), int(rng.integers(0, maxlen))))
         for _ in range(n)
@@ -79,7 +83,10 @@ def test_counting_stats_oracle_parity(pattern):
         assert bool(fm[i]) == orc.fullmatch(t), (pattern, i)
 
 
-@pytest.mark.parametrize("pattern", ["a{2,300}", "a{3,1200}", "x{0,300}"])
+@pytest.mark.parametrize(
+    "pattern",
+    ["a{2,300}", "a{3,1200}", "x{0,300}", "(ab|cd){1,400}", "(ab|ba){2,200}"],
+)
 def test_counting_bitmaps_and_spans(pattern):
     pat = Pattern(pattern, backend="pallas")
     assert isinstance(pat.engine._pallas, CountScanner)
@@ -182,8 +189,8 @@ def test_stride_k_plan_detected(pattern):
     prog = compile_program(pattern)
     plan = counting_plan(prog)
     assert plan is not None, pattern
-    m, n, body = plan
-    assert len(body) >= 2
+    m, n, branches = plan
+    assert len(branches[0]) >= 2  # body length k (per-branch)
     eng = ScanEngine(prog, backend="pallas")
     assert isinstance(eng._pallas, CountScanner)
 

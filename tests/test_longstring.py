@@ -210,7 +210,8 @@ def _blob(rng, n, alphabet=b"aabx"):
 
 
 @pytest.mark.parametrize(
-    "pattern", ["a{2,5}", "a{3,}", "(ab){2,4}", "[a-c]{2,6}", "(ab){3,}", "a{4}"]
+    "pattern", ["a{2,5}", "a{3,}", "(ab){2,4}", "[a-c]{2,6}", "(ab){3,}",
+                "a{4}", "(ab|ca){2,5}", "(ab|cb){3,}"]
 )
 def test_count_long_oracle_parity(pattern):
     """Stats and bitmaps across window boundaries must match the oracle

@@ -18,8 +18,10 @@ from roaringregex_tpu.utils.config import get_config, set_config  # noqa: E402
 
 @pytest.fixture()
 def window_cfg():
+    # swar off: engine-level windowing targets the matmul scanner — the
+    # SWAR/word tiers window internally and _window_plan defers to them
     old = get_config()
-    set_config(old.with_(window_cols=2048))
+    set_config(old.with_(window_cols=2048, swar=False))
     yield
     set_config(old)
 
