@@ -85,6 +85,11 @@ def main(argv=None) -> int:
         "--long", action="store_true",
         help="scan each FILE as ONE string (block-parallel long-string mode)",
     )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="out-of-core line grep: chunked host->device pipelined scan "
+        "(corpora larger than HBM; stdin or FILEs of any size)",
+    )
     ap.add_argument("--dump", action="store_true")
     ap.add_argument(
         "--dump-full", action="store_true",
@@ -217,6 +222,74 @@ def main(argv=None) -> int:
         print(pat.dump(full=args.dump_full))
         if not args.files and sys.stdin.isatty():
             return 0
+
+    if args.stream:
+        # out-of-core streaming grep: never materializes a whole FILE —
+        # fixed-shape record chunks flow host->device with `depth` in
+        # flight (roaringregex_tpu/stream.py)
+        if multi is not None or args.only_spans or args.fullmatch \
+                or args.long or args.invert_match:
+            print(
+                "rrx: --stream supports a single pattern line grep "
+                "(-c / -n / plain)",
+                file=sys.stderr,
+            )
+            return 2
+        from .stream import StreamScanner, iter_line_batches
+
+        sc = StreamScanner(pat.engine)
+
+        def sources():
+            if not args.files:
+                yield "(stdin)", sys.stdin.buffer
+            else:
+                for p in args.files:
+                    try:
+                        f = open(p, "rb")
+                    except OSError as e:
+                        raise SystemExit(f"rrx: {p}: {e.strerror}")
+                    with f:
+                        yield p, f
+
+        import collections as _c
+
+        for src, f in sources():
+            ln_no = 0
+            nreal_q = _c.deque()  # real-line count per chunk, FIFO with
+            # the pipeline's in-order retirement (phantom pad records at
+            # the tail of a chunk are indistinguishable from real empty
+            # lines by length alone)
+
+            def gen(f=f):
+                for d, l, nr in iter_line_batches(f):
+                    nreal_q.append(nr)
+                    yield d, l
+
+            for hits, data, lengths in sc.hits_stream(gen()):
+                B = nreal_q.popleft()
+                n_lines += B
+                n_bytes += int(lengths[:B].sum())
+                idxs = np.nonzero(hits[:B])[0]
+                n_match += len(idxs)
+                if not counts_only:
+                    for i in idxs:
+                        prefix = f"{src}:" if many_files else ""
+                        if args.line_number:
+                            prefix += f"{ln_no + int(i) + 1}:"
+                        line = bytes(data[int(i), : lengths[int(i)]])
+                        print(prefix + line.decode("ascii", "replace"))
+                ln_no += B
+        if counts_only:
+            print(n_match)
+        if args.stats:
+            dt = time.perf_counter() - t0
+            print(
+                f"rrx: {n_match}/{n_lines} lines, {n_bytes} bytes, "
+                f"{dt*1e3:.1f} ms streamed "
+                f"({n_bytes/max(dt,1e-9)/1e6:.1f} MB/s end-to-end)",
+                file=sys.stderr,
+            )
+        return 0 if n_match > 0 else 1
 
     if args.long:
         if multi is not None:

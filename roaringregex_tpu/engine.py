@@ -153,6 +153,9 @@ class ScanEngine:
 
                 self._ptables = dict(self._ptables)
                 self._ptables["A"] = _jnp.asarray(accept_map, _jnp.bfloat16)
+                # numpy copy for scanner-side layout transforms (avoids a
+                # device->host fetch in PallasScanner.__init__)
+                self._ptables["A_np"] = np.asarray(accept_map)
             if self.backend == "pallas":
                 from .ops import scan_pallas as spl
 

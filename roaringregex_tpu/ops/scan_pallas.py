@@ -550,11 +550,15 @@ class PallasScanner:
         self.Gp = prog.G  # packing groups (fixed; G may alias channels)
         self.W = prog.lanes // 32
         self.spec = byte_spec(prog)
-        ft_np = np.asarray(ptables["F_bd"]).T
+        # host-side layout transforms read the program's numpy tables, NOT
+        # the device copies in ptables: a device->host fetch here would
+        # both waste a round trip and (on the axon tunnel) permanently
+        # degrade later host->device bandwidth ~30x (see stream.py)
+        ft_np = np.asarray(prog.F_bd).T
         self.ft = jnp.asarray(ft_np, DTYPE)
         self.f = ptables["F_bd"].astype(DTYPE)
         # seed count column for the counts-chain kernels: c0 = F^T @ seed
-        seed_np = np.asarray(ptables["seed_row"], np.float32)[:, None]
+        seed_np = np.asarray(prog.seed_row, np.float32)[:, None]
         self.c0 = jnp.asarray(ft_np.astype(np.float32) @ seed_np, DTYPE)
         # mask-by-matmul tables (used on G == 1 tiers: wide lanes)
         self.cspec = cls_spec(prog) if prog.G == 1 else None
@@ -573,8 +577,16 @@ class PallasScanner:
                     tbl[i, k] = ft_np[i, i - d]
                 self.diag_ks = ks
                 self.ftd = jnp.asarray(tbl, DTYPE)
-        self.at = jnp.asarray(np.asarray(ptables["A"]).T, DTYPE)
-        self.sg = jnp.asarray(np.asarray(ptables["seed_groups"]).T, DTYPE)
+        # "A_np" = engine-provided numpy accept map (multi-pattern
+        # channels); default = the program's per-group accept columns
+        a_np = ptables.get("A_np")
+        if a_np is None:
+            a_np = prog.accept_groups
+        self.at = jnp.asarray(np.asarray(a_np).T, DTYPE)
+        sg_np = np.zeros((prog.lanes, prog.G), dtype=np.uint8)
+        for g in range(prog.G):
+            sg_np[g * prog.s_tile, g] = 1
+        self.sg = jnp.asarray(sg_np.T, DTYPE)
         self.seed = ptables["seed_row"].astype(DTYPE)[:, None]
         self.acc = ptables["accept_lanes"].astype(DTYPE)[:, None]
 

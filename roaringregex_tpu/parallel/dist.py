@@ -119,6 +119,7 @@ class DistScanner:
         if accept_map is not None and self.dense:
             tables = dict(tables)
             tables["A"] = jnp.asarray(accept_map, jnp.bfloat16)
+            tables["A_np"] = np.asarray(accept_map)
         self._plk = None
         if jax.default_backend() == "tpu":
             from ..ops import scan_pallas as spl

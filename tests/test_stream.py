@@ -1,0 +1,136 @@
+"""Out-of-core streaming (roaringregex_tpu/stream.py): the chunked
+host->device pipeline must be exactly equivalent to one big batch, the
+line batcher must reassemble records across read-chunk boundaries, and
+the CLI --stream path must agree with grep semantics."""
+import io
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from roaringregex_tpu.compiler.program import compile_program  # noqa: E402
+from roaringregex_tpu.engine import ScanEngine  # noqa: E402
+from roaringregex_tpu.oracle.engine import OracleEngine  # noqa: E402
+from roaringregex_tpu.stream import (  # noqa: E402
+    StreamScanner,
+    iter_line_batches,
+    pack_records,
+    stream_file_stats,
+)
+
+
+def _chunks(rng, n_chunks, B, L, plant=b"cat"):
+    out = []
+    for _ in range(n_chunks):
+        data = rng.integers(97, 123, size=(B, L), dtype=np.uint8)
+        for r in rng.integers(0, B, size=B // 4):
+            c = int(rng.integers(0, L - len(plant)))
+            data[r, c : c + len(plant)] = np.frombuffer(plant, np.uint8)
+        lens = np.full(B, L, np.int32)
+        lens[-1] = int(rng.integers(0, L))  # one ragged record per chunk
+        out.append((data, lens))
+    return out
+
+def test_stats_stream_equals_batch():
+    rng = np.random.default_rng(5)
+    chunks = _chunks(rng, 5, 64, 128)
+    sc = StreamScanner("cat|dog", depth=2)
+    st = sc.stats_stream(iter(chunks))
+    assert st.chunks == 5
+    assert st.bytes == sum(int(l.sum()) for _, l in chunks)
+    # reference: one engine pass per chunk, summed
+    eng = ScanEngine(compile_program("cat|dog"))
+    want_m = want_r = 0
+    for d, l in chunks:
+        cnt, _, anym = eng.match_stats(d, l, seeded=True)
+        want_m += int(np.asarray(cnt).sum())
+        want_r += int(np.asarray(anym).sum())
+    assert st.matches == want_m
+    assert st.matched_records == want_r
+
+
+def test_hits_stream_order_and_parity():
+    rng = np.random.default_rng(7)
+    chunks = _chunks(rng, 4, 32, 64)
+    sc = StreamScanner("cat|dog", depth=3)
+    orc = OracleEngine.compile("cat|dog")
+    seen = 0
+    for (hits, data, lens), (d0, l0) in zip(
+        sc.hits_stream(iter(chunks)), chunks
+    ):
+        assert np.array_equal(data, d0), "chunk order must be preserved"
+        for i in range(d0.shape[0]):
+            t = bytes(d0[i, : l0[i]])
+            assert bool(hits[i]) == orc.search(t)
+        seen += 1
+    assert seen == 4
+
+
+def test_iter_line_batches_reassembles_lines():
+    rng = np.random.default_rng(9)
+    lines = [
+        bytes(rng.choice(list(b"abcxyz"), int(rng.integers(0, 200))))
+        for _ in range(500)
+    ]
+    blob = b"\n".join(lines) + b"\n"
+    got = []
+    # tiny read chunks force many carry-over boundaries
+    for data, lens, nreal in iter_line_batches(
+        io.BytesIO(blob), rows=64, chunk_bytes=777
+    ):
+        assert data.shape[0] == 64
+        for i in range(nreal):
+            got.append(bytes(data[i, : lens[i]]))
+    assert got == lines
+
+
+def test_iter_line_batches_growing_width():
+    blob = b"short\n" * 100 + b"x" * 5000 + b"\n" + b"tail\n"
+    widths = set()
+    got = []
+    for data, lens, nreal in iter_line_batches(
+        io.BytesIO(blob), rows=32, chunk_bytes=512, min_len=16
+    ):
+        widths.add(data.shape[1])
+        got.extend(bytes(data[i, : lens[i]]) for i in range(nreal))
+    assert max(widths) >= 8192  # grew past the long line
+    assert got[-1] == b"tail" and got[-2] == b"x" * 5000
+    assert len(got) == 102
+
+
+def test_stream_file_stats_matches_grep():
+    rng = np.random.default_rng(11)
+    lines = []
+    for _ in range(300):
+        s = bytes(rng.choice(list(b"abcdefgh "), int(rng.integers(1, 80))))
+        if rng.random() < 0.3:
+            s += b"cat"
+        lines.append(s)
+    blob = b"\n".join(lines) + b"\n"
+    st = stream_file_stats("cat|dog", io.BytesIO(blob), rows=64,
+                           chunk_bytes=1024)
+    orc = OracleEngine.compile("cat|dog")
+    assert st.matched_records == sum(orc.search(ln) for ln in lines)
+
+
+def test_cli_stream(tmp_path, capsys):
+    from roaringregex_tpu.cli import main
+
+    p = tmp_path / "corpus.txt"
+    p.write_bytes(b"a cat here\nnothing\ndogs galore\n\ncat\n")
+    rc = main(["cat|dog", str(p), "--stream", "-c"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "3"
+    rc = main(["cat|dog", str(p), "--stream", "-n"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["1:a cat here", "3:dogs galore", "5:cat"]
+    rc = main(["zebra", str(p), "--stream", "-c"])
+    assert rc == 1
+    assert capsys.readouterr().out.strip() == "0"
+
+
+def test_pack_records_truncates():
+    data, lens = pack_records([b"abc", b"x" * 50], 4, 16)
+    assert lens.tolist() == [3, 16, 0, 0]
+    assert bytes(data[1, :16]) == b"x" * 16
