@@ -243,6 +243,13 @@ CONFIGS = {
     # (end_to_end / measured wire ceiling), reported in the JSON.
     11: dict(pattern="cat|dog", rec_len=1024,
              name="streamed corpus end-to-end (incl. upload)", stream=True),
+    # the cyclic-automaton long-string class (BASELINE config 2 shape,
+    # `.*error.*`): rewritten to a bounded-horizon core scan + vector
+    # epilogue (ops/longstring.py dotstar_core) instead of the 3x-slower
+    # summary+replay mode
+    12: dict(pattern=".*(cat|dog).*", rec_len=0,
+             name="ONE long string, cyclic .*X.* (rewritten)",
+             longstr=True),
 }
 
 
@@ -372,6 +379,7 @@ def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
             else "summary"
         ),
         "CountLongScanner": "counting",
+        "DotStarLongScanner": "dotstar-rewrite",
     }.get(type(sc).__name__, "portable")
     d = jax.device_put(jnp.asarray(text))
     t0 = time.perf_counter()

@@ -425,7 +425,13 @@ def combine_nfas(nfas: List[NFA]) -> Tuple[NFA, List[Set[int]]]:
 
 def build_nfa_py(pattern: str) -> NFA:
     """Pure-Python reference implementation of the Glushkov build."""
-    ast = parse(pattern)
+    return build_nfa_ast(parse(pattern), pattern)
+
+
+def build_nfa_ast(ast, pattern: str) -> NFA:
+    """Glushkov build from an already-parsed AST node (used by pattern
+    rewrites that compile a sub-expression, e.g. the `.*X.*` long-string
+    rewrite in ops/longstring.py). ``pattern`` is only a label."""
     n_pos = count_positions(ast)
     if n_pos + 1 > MAX_STATES:
         raise PatternTooLargeError(

@@ -954,12 +954,204 @@ class CountLongScanner:
         return out
 
 
+def dotstar_core(prog: DeviceProgram):
+    """(core_prog, had_trailing_dotstar) for `.*X.*`-shaped patterns, or
+    None. Under SEEDED ends semantics a leading ``.*`` is redundant (a
+    match may start anywhere already) and a trailing ``.*`` turns the
+    ends set into a segmented running-OR of X's ends (segments break at
+    dead >= 0x80 bytes, which ``.`` does not match) — so the cyclic
+    automaton of the BASELINE-config-2 class (``.*error.*``) never needs
+    the summary+replay mode: scan the bounded-horizon core X at the
+    overlapped kernel rate and apply a cheap vector epilogue. X must be
+    non-nullable (a nullable X makes the whole pattern nullable, which
+    callers already special-case)."""
+    from ..compiler.nfa import build_nfa_ast
+    from ..compiler.parser import Concat, Lit, Repeat, parse
+    from ..compiler.program import compile_program
+
+    try:
+        node = parse(prog.pattern)
+    except Exception:
+        return None
+    parts = list(node.parts) if isinstance(node, Concat) else [node]
+    any_syms = frozenset(range(0x80))
+
+    def is_ds(nd):
+        return (
+            isinstance(nd, Repeat)
+            and nd.lo == 0
+            and nd.hi is None
+            and isinstance(nd.child, Lit)
+            and nd.child.syms == any_syms
+        )
+
+    lead = 0
+    while lead < len(parts) and is_ds(parts[lead]):
+        lead += 1
+    trail = 0
+    while len(parts) - lead - trail > 0 and is_ds(parts[-1 - trail]):
+        trail += 1
+    if (lead == 0 and trail == 0) or len(parts) - lead - trail < 1:
+        return None
+    core_parts = tuple(parts[lead : len(parts) - trail])
+    core_ast = core_parts[0] if len(core_parts) == 1 else Concat(core_parts)
+    try:
+        nfa = build_nfa_ast(core_ast, f"<core:{prog.pattern}>")
+    except Exception:
+        return None
+    if nfa.nullable:
+        return None
+    core = compile_program(nfa)
+    if core.uses_anchor:
+        # BOS/EOS inside the core interacts with the stripped context
+        # (e.g. `.*^a`): keep those on the generic scanners
+        return None
+    return core, trail > 0
+
+
+class DotStarLongScanner:
+    """Seeded long-string scan for `.*X.*` rewrites (see dotstar_core).
+
+    count/any/ends run as: inner scan of X (overlapped/counting kernels)
+    → device ends bitmap → trailing-``.*`` running-OR epilogue. Fullmatch
+    and unseeded scans delegate to a generic scanner for the ORIGINAL
+    pattern (the rewrite is exact only for the seeded ends set)."""
+
+    def __init__(self, prog, core_prog, trail: bool, block: int = 16384):
+        self.prog = prog
+        self.core_prog = core_prog
+        self.trail = trail
+        self.block = block
+        self.inner = make_long_scanner(core_prog, block)
+        self.overlap = getattr(self.inner, "overlap", None)
+        self._generic = None
+
+    def _fallback(self):
+        if self._generic is None:
+            try:
+                self._generic = FastLongScanner(self.prog, block=self.block)
+            except (AssertionError, ValueError):
+                self._generic = LongScanner(self.prog, block=4096)
+        return self._generic
+
+    @staticmethod
+    def _data(text):
+        if isinstance(text, (bytes, bytearray)):
+            return jnp.asarray(np.frombuffer(text, np.uint8)), len(text)
+        return jnp.asarray(text), int(text.shape[0])
+
+    @functools.partial(jax.jit, static_argnames=("self", "n", "mode"))
+    def _ends_post(self, data, *, n: int, mode: str):
+        inner = self.inner
+        # inner ends bitmap [n+1] on device (e = 0 impossible: core is
+        # non-nullable)
+        if isinstance(inner, CountLongScanner):
+            if n:
+                body = inner._ends_impl(data, n=n)[:n]
+                ends = jnp.concatenate(
+                    [jnp.zeros(1, bool), body.astype(bool)]
+                )
+            else:
+                ends = jnp.zeros(1, bool)
+        else:
+            if isinstance(inner, LongScanner):
+                flags = scan_long(
+                    inner.tables, data, length=n, block=inner.block,
+                    seeded=True, bos_class=self.core_prog.bos_class,
+                    eos_class=self.core_prog.eos_class,
+                )
+            else:
+                flags = inner._run(data, True, "flags")  # [n+2] by step
+            f = flags[: n + 2] > 0
+            ends = f[: n + 1]
+            ends = ends.at[n].set(ends[n] | f[n + 1])
+        if not (self.trail and n):
+            if mode == "count":
+                return jnp.sum(ends.astype(jnp.int32))
+            if mode == "any":
+                return jnp.any(ends)
+            return ends
+        if mode == "any":
+            # a trailing .* can be empty: any X end IS a P end
+            return jnp.any(ends)
+        dead = data[:n] >= 0x80
+
+        def general(_):
+            """Segmented running-OR: e is a P end iff some X end e' <= e
+            with no dead byte in [e', e). O(n log n) cummax passes —
+            reached only when the text actually contains dead bytes."""
+            e_idx = jnp.arange(n + 1, dtype=jnp.int32)
+            last_end = jax.lax.cummax(jnp.where(ends, e_idx, -1))
+            dd = jnp.where(dead, jnp.arange(1, n + 1, dtype=jnp.int32), 0)
+            D = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jax.lax.cummax(dd)]
+            )
+            return (last_end >= 0) & (last_end >= D)
+
+        if mode == "ends":
+            return general(None)
+        # count with the single-segment fast path (pure-ASCII text — the
+        # overwhelmingly common case): every e >= first X end is a P end
+        first = jnp.argmax(ends).astype(jnp.int32)
+        cnt_fast = jnp.where(jnp.any(ends), n + 1 - first, 0)
+        return jax.lax.cond(
+            jnp.any(dead),
+            lambda _: jnp.sum(general(None).astype(jnp.int32)),
+            lambda _: cnt_fast,
+            None,
+        )
+
+    def _run(self, text, seeded: bool, mode: str):
+        """FastLongScanner._run duck type (bench pipelining): un-synced
+        device values for seeded count/any; everything else generic."""
+        if seeded and mode in ("count", "any"):
+            data, n = self._data(text)
+            return self._ends_post(data, n=n, mode=mode)
+        return self._fallback()._run(text, seeded, mode)
+
+    def ends_bitmap(self, text) -> np.ndarray:
+        data, n = self._data(text)
+        if self.prog.nullable:
+            return np.ones(n + 1, bool)
+        return np.asarray(self._ends_post(data, n=n, mode="ends"))
+
+    def count_ends(self, text) -> int:
+        if self.prog.nullable:
+            return self._data(text)[1] + 1
+        data, n = self._data(text)
+        return int(self._ends_post(data, n=n, mode="count"))
+
+    def search(self, text) -> bool:
+        if self.prog.nullable:
+            return True
+        data, n = self._data(text)
+        return bool(self._ends_post(data, n=n, mode="any"))
+
+    def fullmatch(self, text) -> bool:
+        return bool(self._fallback().fullmatch(text))
+
+    def starts_bitmap(self, text) -> np.ndarray:
+        return self._fallback().starts_bitmap(text)
+
+    def flags(self, text, *, seeded: bool = True):
+        return self._fallback().flags(text, seeded=seeded)
+
+
 def make_long_scanner(prog: DeviceProgram, block: int = 16384):
-    """Best available long-string scanner for this program: run-length
-    windows for counting-plan patterns on the one-record-per-row tiers,
-    packed overlapped/summary kernels for dense tiers, portable XLA
-    otherwise."""
+    """Best available long-string scanner for this program: `.*X.*`
+    rewrites first (dotstar_core), run-length windows for counting-plan
+    patterns on the one-record-per-row tiers, packed overlapped/summary
+    kernels for dense tiers, portable XLA otherwise."""
     from . import scan_pallas as spl
+
+    if not prog.nullable and prog.horizon is None:
+        ds = dotstar_core(prog)
+        if ds is not None:
+            core_prog, trail = ds
+            if core_prog.horizon is not None or spl.counting_plan(
+                core_prog
+            ):
+                return DotStarLongScanner(prog, core_prog, trail, block)
 
     # counting-plan patterns always prefer the run-length windows in long
     # mode: unlike the batched engine there is no G-lane packing edge for
@@ -967,8 +1159,8 @@ def make_long_scanner(prog: DeviceProgram, block: int = 16384):
     # the far slower summary/portable paths
     plan = spl.counting_plan(prog)
     if plan is not None:
-        m, _, body = plan
-        if max(m, 1) * len(body) <= 1 << 16:
+        m, _, branches = plan
+        if max(m, 1) * len(branches[0]) <= 1 << 16:
             return CountLongScanner(prog, plan, block=max(block, 32768))
     if prog.F is not None:
         if prog.s_tile <= 32:

@@ -355,6 +355,56 @@ def test_finditer_long_empty_input():
     assert rrx.Pattern("^").finditer_long(b"") == [(0, 0)]
 
 
+@pytest.mark.parametrize(
+    "pattern",
+    [".*error.*", ".*(cat|dog).*", "abc.*", ".*abc", ".*a{2,40}.*",
+     ".*(er|ro)r.*"],
+)
+def test_dotstar_rewrite_oracle_parity(pattern):
+    """`.*X.*`-shaped patterns must route to the DotStarLongScanner and
+    match the oracle exactly — including dead (>= 0x80) bytes that break
+    a trailing `.*` and force the segmented epilogue."""
+    from roaringregex_tpu.ops.longstring import (
+        DotStarLongScanner,
+        make_long_scanner,
+    )
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    prog = compile_program(pattern)
+    sc = make_long_scanner(prog, block=256)
+    assert isinstance(sc, DotStarLongScanner), pattern
+    orc = OracleEngine.compile(pattern)
+    rng = np.random.default_rng(31)
+    texts = [
+        b"", b"error", b"xerrorx", b"abc" + b"\xf0" + b"zzz",
+        b"q" * 300 + b"error" + b"\xf0" + b"y" * 200 + b"error" + b"z" * 10,
+        bytes(rng.choice(list(b"abcderotxygz"), 900)),
+        b"a" * 45, b"cat" + b"\xf0" * 3 + b"dog" + b"z" * 5,
+        b"\xf0" * 20,
+    ]
+    for t in texts:
+        ends = orc.ends(t)
+        assert sc.count_ends(t) == len(ends), (pattern, len(t))
+        assert sc.search(t) == bool(ends), (pattern, len(t))
+        assert set(np.nonzero(sc.ends_bitmap(t))[0]) == ends, (
+            pattern, t[:24],
+        )
+        assert sc.fullmatch(t) == orc.fullmatch(t), (pattern, t[:24])
+
+
+def test_dotstar_rewrite_gates():
+    """Patterns the rewrite must NOT claim: inner .*, nullable cores,
+    bounded-horizon patterns (already fast), anchored cores."""
+    from roaringregex_tpu.ops.longstring import (
+        DotStarLongScanner,
+        make_long_scanner,
+    )
+
+    for pat in ["x.*y", "cat|dog", ".*a*", "(ab)*c"]:
+        sc = make_long_scanner(compile_program(pat), block=256)
+        assert not isinstance(sc, DotStarLongScanner), pat
+
+
 def test_count_long_run_duck_types_fast_scanner():
     """CountLongScanner._run must honor the (seeded, mode) contract of
     FastLongScanner._run: mode 'full' is whole-string acceptance, not the
