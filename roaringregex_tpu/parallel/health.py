@@ -246,7 +246,7 @@ class ElasticScanner:
             new_mesh = surviving_mesh(alive, self.axis)
         self._scanner = DistScanner(self.prog, new_mesh, self.axis)
 
-    def _run(self, name: str, data, lengths):
+    def _run(self, name: str, data, lengths, **kw):
         data = np.asarray(data)
         lengths = np.asarray(lengths)
         err: Optional[Exception] = None
@@ -257,8 +257,23 @@ class ElasticScanner:
                 d, l, B = self._pad_to_mesh(data, lengths)
                 sc = self._scanner
                 ds, ls = shard_batch(sc.mesh, d, l, self.axis)
-                out = getattr(sc, name)(ds, ls)
+                out = getattr(sc, name)(ds, ls, **kw)
                 return out, B
+            except Exception as e:  # device loss / drill
+                err = e
+                self._recover(e)
+        raise err  # pragma: no cover - recover() re-raises first
+
+    def _run_long(self, name: str, text, **kw):
+        """Recovery wrapper for the ONE-long-string entry points (the
+        sharded stream is rebuilt from host bytes on the new mesh, so a
+        mid-scan device loss just replays the whole SPMD program)."""
+        err: Optional[Exception] = None
+        for _ in range(self.max_recoveries + 1):
+            try:
+                if _take_fault():
+                    raise InjectedFault("armed fault (drill)")
+                return getattr(self._scanner, name)(text, **kw)
             except Exception as e:  # device loss / drill
                 err = e
                 self._recover(e)
@@ -285,3 +300,19 @@ class ElasticScanner:
     def per_record(self, data, lengths):
         out, B = self._run("per_record", data, lengths)
         return tuple(np.asarray(x)[:B] for x in out)
+
+    def per_record_spans(self, data, lengths, *, cap: int,
+                         longest: bool = False):
+        """Recovered sharded span extraction (starts, ends, count,
+        overflow) — a device loss mid-extraction remeshes and replays."""
+        out, B = self._run(
+            "per_record_spans", data, lengths, cap=cap, longest=longest
+        )
+        return tuple(np.asarray(x)[:B] for x in out)
+
+    def long_stats(self, text, *, mode: str = "count"):
+        """Recovered sharded ONE-long-string stats (count/any)."""
+        return self._run_long("long_stats", text, mode=mode)
+
+    def long_count(self, text, **kw) -> int:
+        return self._run_long("long_count", text, **kw)
