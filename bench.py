@@ -367,7 +367,15 @@ def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
     from roaringregex_tpu.compiler.program import compile_program
     from roaringregex_tpu.ops.longstring import make_long_scanner
 
+    import jax as _jax
+
     text = np.ascontiguousarray(data).reshape(-1)
+    if _jax.default_backend() == "tpu" and len(text) < (128 << 20):
+        # BASELINE long-string rows are defined on a 128 MB string —
+        # short strings underfill the window batch and understate the
+        # sustained rate
+        reps = -(-(128 << 20) // len(text))
+        text = np.tile(text, reps)[: 128 << 20]
     # plant a couple of matches so the count is nonzero
     text[len(text) // 3 : len(text) // 3 + 3] = np.frombuffer(b"cat", np.uint8)
     n = len(text)
