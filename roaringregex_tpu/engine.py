@@ -461,9 +461,19 @@ class ScanEngine:
     # ------------------------------------------------------------------
     # Bitmaps
     # ------------------------------------------------------------------
+    @staticmethod
+    def _fetch_bitmap(bm) -> np.ndarray:
+        """Device [B, W] bool -> host bool array via device-side bit
+        packing: 8x less device->host traffic (VERDICT r3 #8 — the
+        position bitmap is the API's result, but it need not cross the
+        link one byte per bit)."""
+        W = bm.shape[1]
+        packed = np.asarray(jnp.packbits(bm.astype(jnp.uint8), axis=1))
+        return np.unpackbits(packed, axis=1)[:, :W].astype(bool)
+
     def ends_bitmap(self, data, lengths, max_len: int) -> np.ndarray:
         flags = self.forward_flags(data, lengths, seeded=True)
-        return np.asarray(
+        return self._fetch_bitmap(
             sx.ends_bitmap(
                 flags, jnp.asarray(lengths), max_len, self.prog.nullable,
                 seeded=True,
@@ -472,7 +482,7 @@ class ScanEngine:
 
     def starts_bitmap(self, data, lengths, max_len: int) -> np.ndarray:
         hits = self.reverse_hits(data, lengths)
-        return np.asarray(
+        return self._fetch_bitmap(
             sx.starts_bitmap(
                 hits, jnp.asarray(lengths), max_len, self.prog.nullable
             )
