@@ -48,7 +48,9 @@ def test_sparse_cap_falls_back_to_xla(caplog):
         with caplog.at_level(
             logging.WARNING, logger="roaringregex_tpu.engine"
         ):
-            p = Pattern("(a|b|c){1040,1100}", backend="pallas")
+            # variable-length branches: no counting plan (equal-length
+            # bodies like (a|b|c){...} now route to the run-length tier)
+            p = Pattern("(ab|c){520,550}", backend="pallas")
     finally:
         set_config(base)
     assert p.tier == "sparse"
