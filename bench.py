@@ -305,8 +305,11 @@ CONFIGS = {
     # route to the run-length counting tier instead (counting_plan).
     # no_agg: the container kernels are compute-bound (~230 ms / 10 MB),
     # so dispatch aggregation only multiplies the compile time
-    10: dict(pattern="(abc|de){1,300}", rec_len=1024,
-             name="sparse tier >1024 states (non-counting)", no_agg=True),
+    # x...y context blocks the whole-pattern seeded-alias rewrite, so
+    # this measures the RAW container kernels
+    10: dict(pattern="x(ab|c){400,520}y", rec_len=1024,
+             name="sparse tier >1024 states (raw container kernels)",
+             no_agg=True, plant=(b"x" + b"ab" * 200 + b"c" * 210 + b"y",)),
     # out-of-core streaming: corpus larger than any single device batch,
     # chunked host->device with `depth` uploads in flight while earlier
     # chunks scan (roaringregex_tpu/stream.py). End-to-end wall time
@@ -327,6 +330,11 @@ CONFIGS = {
     12: dict(pattern=".*(cat|dog).*", rec_len=0,
              name="ONE long string, cyclic .*X.* (rewritten)",
              longstr=True),
+    # whole-pattern X{m,n} with a variable-length body: 1501 Glushkov
+    # states, but the upper bound is unobservable under seeded semantics
+    # (engine._seeded_alias), so it scans as the 6-state (abc|de)+
+    13: dict(pattern="(abc|de){1,300}", rec_len=1024,
+             name="X{m,n} blowup via seeded alias (1501 -> 6 states)"),
 }
 
 

@@ -78,6 +78,7 @@ class ScanEngine:
         cfg = get_config()
         self._enable_compile_cache(cfg.compile_cache_dir)
         self.prog = prog
+        self.backend_requested = backend  # None = tier default (alias uses it)
         self.backend = backend or cfg.backend or _default_backend(prog.tier)
         if self.backend == "packed" and prog.tier == "sparse":
             self.backend = "xla"
@@ -212,6 +213,105 @@ class ScanEngine:
                     )
 
     # ------------------------------------------------------------------
+    # Seeded-alias routing: X{m,n} == X{m,} under seeded semantics
+    # ------------------------------------------------------------------
+    def _seeded_alias(self):
+        """ScanEngine for the X{m,} alias of a whole-pattern X{m,n}, or
+        None.
+
+        Under SEEDED semantics (match may start anywhere) the upper
+        repetition bound is unobservable: any chain of L >= m consecutive
+        X-matches ending (or starting) at a position contains a
+        min(L, n)-copy sub-chain ending (starting) there, so the ends,
+        starts, count, first-end and lazy-span sets of ``X{m,n}`` equal
+        those of ``X{m,}`` — and the n-fold Glushkov position blowup that
+        forces the >1024-state container tier (the very family the
+        reference's Roaring tier exists for, Parser.cpp:165-168) collapses
+        to the m-copy automaton: ``(abc|de){1,300}`` (1501 states, ~0.05
+        GB/s) scans as ``(abc|de)+`` (6 states, word-tier rate). Unseeded
+        scans (fullmatch, anchored greedy rescans) keep the original
+        program — the bound is observable there."""
+        built = getattr(self, "_alias_built", False)
+        if built:
+            return self._alias
+        self._alias_built = True
+        self._alias = None
+        prog = self.prog
+        if self.P != 1 or prog.tier not in ("multiblock", "sparse"):
+            return None
+        from .utils.config import get_config
+
+        if not get_config().seeded_alias:
+            return None
+        from .ops.scan_pallas import counting_plan
+
+        if counting_plan(prog) is not None:
+            return None  # run-length tier already collapses it
+        try:
+            from .compiler.parser import BOS, EOS, Concat, Lit, Repeat, parse
+
+            node = parse(prog.pattern)
+            while isinstance(node, Concat) and len(node.parts) == 1:
+                node = node.parts[0]
+            if not (
+                isinstance(node, Repeat)
+                and node.hi is not None
+                and node.lo >= 1
+            ):
+                return None
+
+            def has_anchor(nd):
+                if isinstance(nd, Lit):
+                    return BOS in nd.syms or EOS in nd.syms
+                parts = getattr(nd, "parts", None) or (
+                    (nd.child,) if isinstance(nd, Repeat) else ()
+                )
+                return any(has_anchor(p) for p in parts)
+
+            if has_anchor(node.child):
+                return None
+            from .compiler.nfa import build_nfa_ast
+            from .compiler.program import compile_program
+
+            alias_ast = Repeat(node.child, node.lo, None)
+            nfa = build_nfa_ast(
+                alias_ast, f"<seeded-alias:{prog.pattern}>"
+            )
+            if nfa.nullable or nfa.n_states > 256:
+                return None
+            if nfa.n_states * 2 > prog.n_states:
+                return None  # not actually a blowup collapse
+            self._alias = ScanEngine(
+                compile_program(nfa), backend=self.backend_requested
+            )
+        except Exception:  # pragma: no cover - alias is best-effort
+            self._alias = None
+        return self._alias
+
+    @staticmethod
+    def _alias_call(alias, name, data, lengths, *args, **kw):
+        """Route a call to the seeded-alias engine, rounding B up to the
+        alias's packing group with zero-length phantom records (the
+        original sparse program has G=1, the alias is lane-packed)."""
+        data = jnp.asarray(data)
+        lengths = jnp.asarray(lengths)
+        G = max(1, alias.prog.G)
+        B = data.shape[0]
+        Bp = -(-B // G) * G
+        if Bp != B:
+            data = jnp.pad(data, ((0, Bp - B), (0, 0)))
+            lengths = jnp.pad(lengths, (0, Bp - B))
+            args = tuple(
+                jnp.pad(jnp.asarray(a), (0, Bp - B)) for a in args
+            )
+        out = getattr(alias, name)(data, lengths, *args, **kw)
+        if Bp == B:
+            return out
+        if isinstance(out, tuple):
+            return tuple(o[:B] for o in out)
+        return out[:B]
+
+    # ------------------------------------------------------------------
     # Public backend introspection (the supported way for api.py / bench
     # harnesses to reach the device scanner — no private-attr reads)
     # ------------------------------------------------------------------
@@ -299,6 +399,11 @@ class ScanEngine:
     # ------------------------------------------------------------------
     def forward_flags(self, data, lengths, *, seeded: bool) -> jnp.ndarray:
         """[B, T+1] accept flags."""
+        alias = self._seeded_alias()
+        if seeded and alias is not None:
+            return self._alias_call(
+                alias, "forward_flags", data, lengths, seeded=True
+            )
         if self._pallas is not None:
             return self._pallas.forward_flags_b(
                 jnp.asarray(data), self._len_g(lengths), seeded=seeded
@@ -385,6 +490,11 @@ class ScanEngine:
     def match_stats(self, data, lengths, *, seeded: bool):
         """(count, first_end, any) per accept channel (== per record unless
         multi-pattern), each flattened to [B * channels_per_record]."""
+        alias = self._seeded_alias()
+        if seeded and alias is not None:
+            return self._alias_call(
+                alias, "match_stats", data, lengths, seeded=True
+            )
         if self._pallas is not None:
             data = jnp.asarray(data)
             plan = self._window_plan(data.shape[1], data.shape[0], seeded)
@@ -416,6 +526,9 @@ class ScanEngine:
 
     def reverse_hits(self, data, lengths) -> jnp.ndarray:
         """[B, T] start-position hits."""
+        alias = self._seeded_alias()
+        if alias is not None:
+            return self._alias_call(alias, "reverse_hits", data, lengths)
         if self._pallas is not None:
             return self._pallas.reverse_hits_b(
                 jnp.asarray(data), self._len_g(lengths)
@@ -432,6 +545,15 @@ class ScanEngine:
         """Anchored-rescan end per record (-1 = none): smallest end (lazy
         policy) or, with ``longest=True``, largest end (greedy
         leftmost-longest -- the POSIX policy)."""
+        alias = self._seeded_alias()
+        if not longest and alias is not None:
+            # lazy first-end from an anchored start: the shortest chain
+            # is m copies for X{m,n} and X{m,} alike. Greedy (longest)
+            # rescans observe the n bound — they stay on the original.
+            return self._alias_call(
+                alias, "first_end_from", data, lengths, starts,
+                longest=False,
+            )
         if self._pallas is not None and self._pallas.has_anchor:
             len_g = self._len_g(lengths)
             starts_g = jnp.asarray(starts).reshape(-1, self.prog.G)
@@ -472,6 +594,11 @@ class ScanEngine:
         return np.unpackbits(packed, axis=1)[:, :W].astype(bool)
 
     def ends_bitmap(self, data, lengths, max_len: int) -> np.ndarray:
+        alias = self._seeded_alias()
+        if alias is not None:
+            return self._alias_call(
+                alias, "ends_bitmap", data, lengths, max_len=max_len
+            )
         flags = self.forward_flags(data, lengths, seeded=True)
         return self._fetch_bitmap(
             sx.ends_bitmap(
@@ -481,6 +608,11 @@ class ScanEngine:
         )
 
     def starts_bitmap(self, data, lengths, max_len: int) -> np.ndarray:
+        alias = self._seeded_alias()
+        if alias is not None:
+            return self._alias_call(
+                alias, "starts_bitmap", data, lengths, max_len=max_len
+            )
         hits = self.reverse_hits(data, lengths)
         return self._fetch_bitmap(
             sx.starts_bitmap(

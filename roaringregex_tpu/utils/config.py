@@ -77,6 +77,13 @@ class RrxConfig:
     banded_max_diags: int = field(
         default_factory=lambda: _env_int("RRX_BANDED_MAX_DIAGS", 8)
     )
+    # seeded-alias rewrite for whole-pattern X{m,n} on the big-automaton
+    # tiers (engine._seeded_alias: the upper bound is unobservable under
+    # seeded semantics, so X{m,n} scans as X{m,}); RRX_ALIAS=0 keeps the
+    # original automaton on every path for A/B diagnosis
+    seeded_alias: bool = field(
+        default_factory=lambda: os.environ.get("RRX_ALIAS", "1") != "0"
+    )
     # sparse-tier VMEM caps (partial containers / lane width)
     sparse_partial_max: int = field(
         default_factory=lambda: _env_int("RRX_SPARSE_PARTIAL_MAX", 120)

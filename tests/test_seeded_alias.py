@@ -1,0 +1,75 @@
+"""Seeded-alias rewrite (engine._seeded_alias): whole-pattern X{m,n} on
+the big-automaton tiers scans as X{m,} for every seeded primitive — the
+upper bound is unobservable when a match may start anywhere (any chain of
+L >= m body copies ending/starting at a position contains a min(L, n)-copy
+sub-chain). Unseeded scans (fullmatch, greedy rescans) keep the original
+program."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from roaringregex_tpu.api import Pattern  # noqa: E402
+from roaringregex_tpu.compiler.program import compile_program  # noqa: E402
+from roaringregex_tpu.engine import ScanEngine  # noqa: E402
+from roaringregex_tpu.oracle.engine import OracleEngine  # noqa: E402
+from roaringregex_tpu.utils.config import get_config, set_config  # noqa: E402
+
+
+def test_alias_routing_gates():
+    # whole-pattern bounded repeat with a variable-length body: aliased
+    eng = ScanEngine(compile_program("(abc|de){1,300}"), backend="pallas")
+    al = eng._seeded_alias()
+    assert al is not None and al.prog.n_states == 6
+    # context around the repeat: NOT aliased (the chain must attach)
+    assert (
+        ScanEngine(compile_program("x(ab|c){400,520}y"), backend="pallas")
+        ._seeded_alias() is None
+    )
+    # counting-plan patterns: run-length tier already collapses them
+    assert (
+        ScanEngine(compile_program("a{3,1200}"), backend="pallas")
+        ._seeded_alias() is None
+    )
+    # unbounded repeats are already small
+    assert (
+        ScanEngine(compile_program("(abc|de){2,}"), backend="pallas")
+        ._seeded_alias() is None
+    )
+    # kill switch
+    base = get_config()
+    try:
+        set_config(base.with_(seeded_alias=False))
+        eng2 = ScanEngine(
+            compile_program("(abc|de){1,300}"), backend="pallas"
+        )
+        assert eng2._seeded_alias() is None
+    finally:
+        set_config(base)
+
+
+@pytest.mark.parametrize(
+    "pattern", ["(abc|de){1,300}", "(ab|c){2,400}", "(abc|de){3,500}"]
+)
+def test_alias_public_api_parity(pattern):
+    p = Pattern(pattern, backend="pallas")
+    assert p.engine._seeded_alias() is not None, pattern
+    orc = OracleEngine.compile(pattern)
+    rng = np.random.default_rng(hash(pattern) % 2**32)
+    texts = [
+        bytes(rng.choice(list(b"abcde"), int(rng.integers(0, 250))))
+        for _ in range(13)  # odd B: exercises padding to the alias G
+    ] + [b"abcde" * 120, b"", b"abc", b"de" * 200]
+    assert list(p.search_batch(texts)) == [orc.search(t) for t in texts]
+    assert [int(c) for c in p.count_batch(texts)] == [
+        len(orc.ends(t)) for t in texts
+    ]
+    assert p.ends_batch(texts) == [sorted(orc.ends(t)) for t in texts]
+    assert p.starts_batch(texts) == [sorted(orc.starts(t)) for t in texts]
+    for longest in (False, True):  # greedy observes the bound (original)
+        assert p.finditer_batch(texts, longest=longest) == [
+            list(orc.finditer(t, longest=longest)) for t in texts
+        ], (pattern, longest)
+    assert list(p.fullmatch_batch(texts)) == [
+        orc.fullmatch(t) for t in texts
+    ]
