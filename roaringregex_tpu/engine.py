@@ -32,6 +32,66 @@ from .compiler.program import DeviceProgram
 from .ops import scan_xla as sx
 
 
+def seeded_alias_program(prog: DeviceProgram):
+    """DeviceProgram for the X{m,} alias of a whole-pattern X{m,n} on a
+    big-automaton tier, or None.
+
+    Under SEEDED semantics (match may start anywhere) the upper
+    repetition bound is unobservable: any chain of L >= m consecutive
+    X-matches ending (or starting) at a position contains a min(L, n)-copy
+    sub-chain ending (starting) there, so the ends, starts, count,
+    first-end and lazy-span sets of ``X{m,n}`` equal those of ``X{m,}`` —
+    and the n-fold Glushkov position blowup that forces the >1024-state
+    container tier (the family the reference's Roaring tier exists for,
+    Parser.cpp:165-168) collapses to the m-copy automaton. Unseeded
+    scans (fullmatch, anchored greedy rescans) must keep the original
+    program — the bound is observable there. Shared by ScanEngine
+    (batched records) and make_long_scanner (one long string)."""
+    if prog.tier not in ("multiblock", "sparse"):
+        return None
+    from .utils.config import get_config
+
+    if not get_config().seeded_alias:
+        return None
+    from .ops.scan_pallas import counting_plan
+
+    if counting_plan(prog) is not None:
+        return None  # run-length tier already collapses it
+    try:
+        from .compiler.parser import BOS, EOS, Concat, Lit, Repeat, parse
+
+        node = parse(prog.pattern)
+        while isinstance(node, Concat) and len(node.parts) == 1:
+            node = node.parts[0]
+        if not (
+            isinstance(node, Repeat) and node.hi is not None and node.lo >= 1
+        ):
+            return None
+
+        def has_anchor(nd):
+            if isinstance(nd, Lit):
+                return BOS in nd.syms or EOS in nd.syms
+            parts = getattr(nd, "parts", None) or (
+                (nd.child,) if isinstance(nd, Repeat) else ()
+            )
+            return any(has_anchor(p) for p in parts)
+
+        if has_anchor(node.child):
+            return None
+        from .compiler.nfa import build_nfa_ast
+        from .compiler.program import compile_program
+
+        alias_ast = Repeat(node.child, node.lo, None)
+        nfa = build_nfa_ast(alias_ast, f"<seeded-alias:{prog.pattern}>")
+        if nfa.nullable or nfa.n_states > 256:
+            return None
+        if nfa.n_states * 2 > prog.n_states:
+            return None  # not actually a blowup collapse
+        return compile_program(nfa)
+    except Exception:  # pragma: no cover - alias is best-effort
+        return None
+
+
 def _default_backend(tier: str) -> str:
     env = os.environ.get("RRX_BACKEND")
     if env:
@@ -236,56 +296,11 @@ class ScanEngine:
             return self._alias
         self._alias_built = True
         self._alias = None
-        prog = self.prog
-        if self.P != 1 or prog.tier not in ("multiblock", "sparse"):
+        if self.P != 1:
             return None
-        from .utils.config import get_config
-
-        if not get_config().seeded_alias:
-            return None
-        from .ops.scan_pallas import counting_plan
-
-        if counting_plan(prog) is not None:
-            return None  # run-length tier already collapses it
-        try:
-            from .compiler.parser import BOS, EOS, Concat, Lit, Repeat, parse
-
-            node = parse(prog.pattern)
-            while isinstance(node, Concat) and len(node.parts) == 1:
-                node = node.parts[0]
-            if not (
-                isinstance(node, Repeat)
-                and node.hi is not None
-                and node.lo >= 1
-            ):
-                return None
-
-            def has_anchor(nd):
-                if isinstance(nd, Lit):
-                    return BOS in nd.syms or EOS in nd.syms
-                parts = getattr(nd, "parts", None) or (
-                    (nd.child,) if isinstance(nd, Repeat) else ()
-                )
-                return any(has_anchor(p) for p in parts)
-
-            if has_anchor(node.child):
-                return None
-            from .compiler.nfa import build_nfa_ast
-            from .compiler.program import compile_program
-
-            alias_ast = Repeat(node.child, node.lo, None)
-            nfa = build_nfa_ast(
-                alias_ast, f"<seeded-alias:{prog.pattern}>"
-            )
-            if nfa.nullable or nfa.n_states > 256:
-                return None
-            if nfa.n_states * 2 > prog.n_states:
-                return None  # not actually a blowup collapse
-            self._alias = ScanEngine(
-                compile_program(nfa), backend=self.backend_requested
-            )
-        except Exception:  # pragma: no cover - alias is best-effort
-            self._alias = None
+        aprog = seeded_alias_program(self.prog)
+        if aprog is not None:
+            self._alias = ScanEngine(aprog, backend=self.backend_requested)
         return self._alias
 
     @staticmethod

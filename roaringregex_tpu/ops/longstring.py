@@ -1040,8 +1040,15 @@ class DotStarLongScanner:
             return jnp.asarray(np.frombuffer(text, np.uint8)), len(text)
         return jnp.asarray(text), int(text.shape[0])
 
-    @functools.partial(jax.jit, static_argnames=("self", "n", "mode"))
     def _ends_post(self, data, *, n: int, mode: str):
+        """Plain orchestration (NOT jitted: the inner scanners own jit
+        caches with host-side state — e.g. FastLongScanner._p1_layout —
+        that must not run under an outer trace); returns un-synced device
+        values so callers can pipeline."""
+        ends = self._inner_ends(data, n)
+        return self._epilogue(ends, data, n=n, mode=mode)
+
+    def _inner_ends(self, data, n: int):
         inner = self.inner
         # inner ends bitmap [n+1] on device (e = 0 impossible: core is
         # non-nullable)
@@ -1065,6 +1072,10 @@ class DotStarLongScanner:
             f = flags[: n + 2] > 0
             ends = f[: n + 1]
             ends = ends.at[n].set(ends[n] | f[n + 1])
+        return ends
+
+    @functools.partial(jax.jit, static_argnames=("self", "n", "mode"))
+    def _epilogue(self, ends, data, *, n: int, mode: str):
         if not (self.trail and n):
             if mode == "count":
                 return jnp.sum(ends.astype(jnp.int32))
@@ -1137,9 +1148,34 @@ class DotStarLongScanner:
         return self._fallback().flags(text, seeded=seeded)
 
 
+class AliasLongScanner(DotStarLongScanner):
+    """Long-string scans for whole-pattern X{m,n} blowups via the X{m,}
+    seeded alias (engine.seeded_alias_program): ends AND starts are
+    identical under seeded semantics, so count/search/bitmaps run on the
+    small alias automaton at kernel rate; fullmatch keeps the original
+    program (the bound is observable there)."""
+
+    def __init__(self, prog, core_prog, block: int = 16384):
+        super().__init__(prog, core_prog, trail=False, block=block)
+
+    def starts_bitmap(self, text) -> np.ndarray:
+        # starts(X{m,n}) == starts(X{m,}) (prefix sub-chains), but the
+        # alias is cyclic so the reverse overlapped pass may refuse;
+        # surface that as the same bounded-horizon error callers already
+        # handle (Pattern.finditer_long gates on `overlap` first)
+        inner = self.inner
+        if hasattr(inner, "starts_bitmap"):
+            return inner.starts_bitmap(text)
+        raise ValueError(
+            "start extraction over one long string needs a bounded-horizon "
+            f"scanner; {self.prog.pattern!r} routes through the cyclic "
+            "X{m,} alias — use the batched record API for spans"
+        )
+
+
 def make_long_scanner(prog: DeviceProgram, block: int = 16384):
-    """Best available long-string scanner for this program: `.*X.*`
-    rewrites first (dotstar_core), run-length windows for counting-plan
+    """Best available long-string scanner for this program: `.*X.*` and
+    X{m,n}-blowup rewrites first, run-length windows for counting-plan
     patterns on the one-record-per-row tiers, packed overlapped/summary
     kernels for dense tiers, portable XLA otherwise."""
     from . import scan_pallas as spl
@@ -1152,6 +1188,12 @@ def make_long_scanner(prog: DeviceProgram, block: int = 16384):
                 core_prog
             ):
                 return DotStarLongScanner(prog, core_prog, trail, block)
+    if prog.tier in ("multiblock", "sparse") and not prog.nullable:
+        from ..engine import seeded_alias_program
+
+        aprog = seeded_alias_program(prog)
+        if aprog is not None:
+            return AliasLongScanner(prog, aprog, block)
 
     # counting-plan patterns always prefer the run-length windows in long
     # mode: unlike the batched engine there is no G-lane packing edge for

@@ -413,6 +413,9 @@ class DistScanner:
 
     def long_count(self, text_bytes, *, block: int = 4096) -> int:
         """Distinct match-end positions in one sharded long string."""
+        ad = self._alias_dist()
+        if ad is not None:
+            return ad.long_count(text_bytes, block=block)
         n = len(text_bytes)
         flags = self.long_flags(text_bytes, block=block, seeded=True)
         e = np.clip(np.arange(n + 2), 0, n)
@@ -462,6 +465,24 @@ class DistScanner:
             self._fls = fls
         return fls or None
 
+    def _alias_dist(self):
+        """DistScanner over the X{m,} seeded alias of a whole-pattern
+        X{m,n} blowup (engine.seeded_alias_program) — the sharded long
+        modes are seeded, so a 1501-state container program scans as its
+        handful-of-states alias on every chip."""
+        ad = getattr(self, "_adist", None)
+        if ad is None:
+            from ..engine import seeded_alias_program
+
+            ap = seeded_alias_program(self.prog)
+            ad = (
+                DistScanner(ap, self.mesh, self.axis)
+                if ap is not None
+                else False
+            )
+            self._adist = ad
+        return ad or None
+
     def long_stats(self, text_bytes, *, mode: str = "count"):
         """count/any over ONE long string at kernel rate, sharded: the
         overlapped windows (ops/longstring.py FastLongScanner) are
@@ -478,6 +499,9 @@ class DistScanner:
         )
         if self.prog.nullable:
             return n + 1 if mode == "count" else True
+        ad = self._alias_dist()
+        if ad is not None:
+            return ad.long_stats(text_bytes, mode=mode)
 
         def host_bytes():
             return (

@@ -48,6 +48,44 @@ def test_alias_routing_gates():
         set_config(base)
 
 
+def test_alias_long_string_parity():
+    """AliasLongScanner: seeded long-string scans of an X{m,n} blowup run
+    on the X{m,} alias; fullmatch keeps the original."""
+    from roaringregex_tpu.ops.longstring import (
+        AliasLongScanner,
+        make_long_scanner,
+    )
+
+    rng = np.random.default_rng(41)
+    for pat in ["(abc|de){1,300}", "(ab|c){2,400}"]:
+        sc = make_long_scanner(compile_program(pat), block=256)
+        assert isinstance(sc, AliasLongScanner), pat
+        orc = OracleEngine.compile(pat)
+        for t in [b"", b"abcde" * 200, b"de" * 400, b"abc",
+                  bytes(rng.choice(list(b"abcde"), 1200))]:
+            assert sc.count_ends(t) == len(orc.ends(t)), (pat, len(t))
+            assert sc.search(t) == bool(orc.ends(t)), (pat, len(t))
+            assert sc.fullmatch(t) == orc.fullmatch(t), (pat, len(t))
+            assert set(np.nonzero(sc.ends_bitmap(t))[0]) == orc.ends(t)
+
+
+def test_alias_dist_long_stats(request):
+    """Sharded long-string stats route through the alias DistScanner."""
+    import jax
+    from roaringregex_tpu.parallel import DistScanner, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8)
+    ds = DistScanner(compile_program("(abc|de){1,300}"), mesh)
+    assert ds._alias_dist() is not None
+    orc = OracleEngine.compile("(abc|de){1,300}")
+    blob = b"x" * 300 + b"abcde" * 120 + b"y" * 200 + b"dede" * 50
+    assert ds.long_stats(blob, mode="count") == len(orc.ends(blob))
+    assert ds.long_stats(blob, mode="any")
+    assert ds.long_count(blob, block=256) == len(orc.ends(blob))
+
+
 @pytest.mark.parametrize(
     "pattern", ["(abc|de){1,300}", "(ab|c){2,400}", "(abc|de){3,500}"]
 )
