@@ -335,6 +335,12 @@ CONFIGS = {
     # (engine._seeded_alias), so it scans as the 6-state (abc|de)+
     13: dict(pattern="(abc|de){1,300}", rec_len=1024,
              name="X{m,n} blowup via seeded alias (1501 -> 6 states)"),
+    # genuinely cyclic pattern (no horizon, no rewrite applies):
+    # speculative windows with exact validation (falls back to
+    # summary+replay when the frontier doesn't converge)
+    14: dict(pattern="(ab)*c", rec_len=0,
+             name="ONE long string, generic cyclic (speculative windows)",
+             longstr=True),
 }
 
 
@@ -471,10 +477,11 @@ def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
     mode = {
         "FastLongScanner": (
             "overlapped" if getattr(sc, "overlap", None) is not None
-            else "summary"
+            else "speculative+summary-fallback"
         ),
         "CountLongScanner": "counting",
         "DotStarLongScanner": "dotstar-rewrite",
+        "AliasLongScanner": "seeded-alias",
     }.get(type(sc).__name__, "portable")
     d = jax.device_put(jnp.asarray(text))
     t0 = time.perf_counter()
@@ -488,10 +495,22 @@ def bench_longstr(pattern: str, data, lengths, *, iters: int = 6):
     bps = _sustained(lambda: run(d, True, "count"), n, pipeline=pipeline,
                      iters=iters)
     if jax.default_backend() == "tpu" and hasattr(sc, "_run"):
-        bps = _prefer_device_rate(
-            lambda dd, _ll: sc._run(dd, True, "count"), d,
-            jnp.zeros(1, jnp.int32), n, bps,
-        )
+        runl = lambda dd, _ll: sc._run(dd, True, "count")  # noqa: E731
+        if (
+            type(sc).__name__ == "FastLongScanner"
+            and getattr(sc, "overlap", None) is None
+        ):
+            from roaringregex_tpu.utils.config import get_config
+
+            W = get_config().spec_warmup
+            if W:
+                # speculative path: loop the fused stats+exit kernel
+                # (the per-call validation sync in _run would serialize
+                # the fori loop); the verdict was checked once above
+                runl = lambda dd, _ll: sc._spec_impl(  # noqa: E731
+                    dd, n=n, mode="count", W=W
+                )
+        bps = _prefer_device_rate(runl, d, jnp.zeros(1, jnp.int32), n, bps)
     return bps, total
 
 

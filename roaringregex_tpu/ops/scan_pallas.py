@@ -3327,6 +3327,27 @@ def _count_v0_kernel_lb(
         tail_out[:] = tail_s[:]
 
 
+def _count_v0_final_kernel_lb(
+    v0_ref, gate_ref, bos_ref, eos_ref, data_ref, ft_ref, at_ref, seed_ref,
+    cnt_out, tail_out, vf_out,  # vf_out [lanes, B]: final reachable set
+    v_s, cnt_s, tail_s,
+    **kw,
+):
+    """_count_v0_kernel_lb + the window's FINAL state vector as a third
+    output — the speculative long-string mode validates its guessed
+    entries against these exits (exit_w must equal entry_{w+1})."""
+    _count_v0_kernel_lb(
+        v0_ref, gate_ref, bos_ref, eos_ref, data_ref, ft_ref, at_ref,
+        seed_ref, cnt_out, tail_out, v_s, cnt_s, tail_s, **kw,
+    )
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+
+    @pl.when(j == nT - 1)
+    def _vf():
+        vf_out[:] = v_s[:]
+
+
 def _add_longstring_calls(cls):
     """Attach the custom-v0, global-offset entry points used by the
     long-string mode (ops/longstring.py FastLongScanner)."""
@@ -3523,9 +3544,68 @@ def _add_longstring_calls(cls):
             interpret=_interpret(),
         )(bosr, eosr, data_tm, self.f, self.sg, self.acc)
 
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk", "r", "Q",
+            "out_lo", "out_hi",
+        ),
+    )
+    def _count_v0f_call_b(
+        self, data_tm, v0, gates, bosr, eosr, seeded,
+        T_pad, B_pad, B_blk, T_chunk, r, Q, out_lo, out_hi,
+    ):
+        """_count_v0_call_b variant that also returns each window's final
+        state [lanes, B_pad] (speculative-mode exit validation)."""
+        G, lanes = self.Gp, self.lanes
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _count_v0_final_kernel_lb,
+            seeded=seeded,
+            T_chunk=T_chunk,
+            r=r,
+            lanes=lanes,
+            s_tile=self.prog.s_tile,
+            spec=self.spec,
+            out_lo=out_lo,
+            out_hi=out_hi,
+            dks=self.diag_ks,
+        )
+        fttab = self.ftd if self.diag_ks else self.ft
+        lspec = pl.BlockSpec((lanes, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((G, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        qspec = pl.BlockSpec((Q, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r * Q, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                lspec, gspec, qspec, qspec, dspec,
+                _full_spec(tuple(fttab.shape)),
+                _full_spec((G, lanes)),
+                _full_spec((lanes, 1)),
+            ],
+            out_specs=(gspec, gspec, lspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((G, B_pad), jnp.int32),
+                jax.ShapeDtypeStruct((G, B_pad), jnp.int32),
+                jax.ShapeDtypeStruct((lanes, B_pad), DTYPE),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((lanes, B_blk), DTYPE),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+                pltpu.VMEM((G, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(v0, gates, bosr, eosr, data_tm, fttab, self.at, self.seed)
+
     cls._carry_call_b = _carry_call_b
     cls._flags_v0_call_b = _flags_v0_call_b
     cls._count_v0_call_b = _count_v0_call_b
+    cls._count_v0f_call_b = _count_v0f_call_b
     cls._rev_call_b = _rev_call_b
 
 

@@ -77,6 +77,13 @@ class RrxConfig:
     banded_max_diags: int = field(
         default_factory=lambda: _env_int("RRX_BANDED_MAX_DIAGS", 8)
     )
+    # speculative long-string windows for cyclic patterns: warmup steps
+    # used to guess window entry states, validated exactly (exit_w ==
+    # entry_{w+1}; see FastLongScanner._spec_impl). 0 disables — every
+    # cyclic scan then takes the summary+replay mode
+    spec_warmup: int = field(
+        default_factory=lambda: _env_int("RRX_SPEC_WARMUP", 512)
+    )
     # seeded-alias rewrite for whole-pattern X{m,n} on the big-automaton
     # tiers (engine._seeded_alias: the upper bound is unobservable under
     # seeded semantics, so X{m,n} scans as X{m,}); RRX_ALIAS=0 keeps the

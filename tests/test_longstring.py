@@ -405,6 +405,57 @@ def test_dotstar_rewrite_gates():
         assert not isinstance(sc, DotStarLongScanner), pat
 
 
+def test_speculative_cyclic_validation():
+    """Speculative windows (FastLongScanner._spec_impl) must validate
+    exactly: convergent inputs return ok=True with the true count;
+    long-memory inputs (a b-run longer than the warmup separating an
+    anchor char from its closer) return ok=False, and the public API
+    falls back to the summary mode with exact results either way."""
+    import jax.numpy as jnp
+
+    from roaringregex_tpu.ops.longstring import FastLongScanner
+    from roaringregex_tpu.oracle.engine import OracleEngine
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    rng = np.random.default_rng(37)
+    base = get_config()
+    try:
+        set_config(base.with_(spec_warmup=64))
+        for pat in ("(ab)*c", "(cat|dog)*x", "a(bb)*c"):
+            prog = compile_program(pat)
+            sc = FastLongScanner(prog, block=256)
+            assert sc.overlap is None, pat
+            orc = OracleEngine.compile(pat)
+            texts = [
+                b"ababc" * 100,
+                bytes(rng.choice(list(b"abcdogtx"), 1500)),
+                b"a" + b"b" * 602 + b"c",  # long memory: must fall back
+                b"x" * 700 + b"catdogx" + b"y" * 300,
+            ]
+            for t in texts:
+                assert sc.count_ends(t) == len(orc.ends(t)), (pat, len(t))
+                assert sc.search(t) == bool(orc.ends(t)), (pat, len(t))
+        # the validator itself: reject the long-memory case
+        prog = compile_program("a(bb)*c")
+        sc = FastLongScanner(prog, block=256)
+        t = np.frombuffer(b"a" + b"b" * 601 + b"c", np.uint8)
+        _, ok = sc._spec_impl(jnp.asarray(t), n=len(t), mode="count", W=64)
+        assert not bool(ok)
+        t2 = np.frombuffer(b"z" * 500 + b"abbc" + b"y" * 200, np.uint8)
+        val, ok2 = sc._spec_impl(jnp.asarray(t2), n=len(t2), mode="count",
+                                 W=64)
+        assert bool(ok2) and int(val) == 1
+        # kill switch: spec_warmup=0 routes straight to summaries
+        set_config(base.with_(spec_warmup=0))
+        sc2 = FastLongScanner(compile_program("(ab)*c"), block=256)
+        t3 = b"zzababc" * 50
+        assert sc2.count_ends(t3) == len(
+            OracleEngine.compile("(ab)*c").ends(t3)
+        )
+    finally:
+        set_config(base)
+
+
 def test_count_long_run_duck_types_fast_scanner():
     """CountLongScanner._run must honor the (seeded, mode) contract of
     FastLongScanner._run: mode 'full' is whole-string acceptance, not the
