@@ -227,17 +227,20 @@ def main(argv=None) -> int:
         # out-of-core streaming grep: never materializes a whole FILE —
         # fixed-shape record chunks flow host->device with `depth` in
         # flight (roaringregex_tpu/stream.py)
-        if multi is not None or args.only_spans or args.fullmatch \
-                or args.long or args.invert_match:
+        if args.only_spans or args.fullmatch or args.long \
+                or args.invert_match:
             print(
-                "rrx: --stream supports a single pattern line grep "
-                "(-c / -n / plain)",
+                "rrx: --stream supports line grep (-c / -n / plain)",
                 file=sys.stderr,
             )
             return 2
         from .stream import StreamScanner, iter_line_batches
 
-        sc = StreamScanner(pat.engine)
+        try:
+            sc = StreamScanner(multi if multi is not None else pat.engine)
+        except ValueError as e:
+            print(f"rrx: {e}", file=sys.stderr)
+            return 2
 
         def sources():
             if not args.files:

@@ -59,8 +59,33 @@ class StreamScanner:
         depth: int = 3,
         backend: Optional[str] = None,
     ):
-        if isinstance(pattern_or_engine, ScanEngine):
+        """Accepts a pattern string, a ScanEngine, or a MultiPattern (its
+        combined-automaton engine scans P patterns per chunk in ONE pass;
+        per-record hits are the union over pattern channels)."""
+        from .api import MultiPattern
+
+        self.P = 1
+        self._null_mask = None
+        if isinstance(pattern_or_engine, MultiPattern):
+            mp = pattern_or_engine
+            if mp._singles is not None:
+                raise ValueError(
+                    "multi-pattern streaming needs the combined-automaton "
+                    "engine (packed/pallas backend); this MultiPattern "
+                    "fell back to per-pattern scans"
+                )
+            self.engine = mp.engine
+            self.P = mp.P
+            if mp.nullables.any():
+                import jax.numpy as jnp
+
+                # nullable channels are corrected host-side by
+                # MultiPattern; in a stream the correction is a per-
+                # channel OR (an empty match hits every record)
+                self._null_mask = jnp.asarray(mp.nullables)[None, :]
+        elif isinstance(pattern_or_engine, ScanEngine):
             self.engine = pattern_or_engine
+            self.P = self.engine.P
         else:
             from .compiler.serialize import cached_compile
 
@@ -81,6 +106,7 @@ class StreamScanner:
 
             def run(d, l):
                 cnt, _, anym = eng.match_stats(d, l, seeded=True)
+                anym = self._union_channels(anym)
                 return (
                     jnp.sum(cnt),
                     jnp.sum(anym.astype(jnp.int32)),
@@ -89,6 +115,16 @@ class StreamScanner:
 
             fn = self._jits["stats"] = jax.jit(run)
         return fn
+
+    def _union_channels(self, anym):
+        """[B*P] per-channel hits -> [B] per-record union (multi-pattern
+        grep semantics: a line matches if ANY pattern matches)."""
+        if self.P <= 1:
+            return anym
+        per = anym.reshape(-1, self.P)
+        if self._null_mask is not None:
+            per = per | self._null_mask
+        return per.any(axis=1)
 
     def _hits_fn(self):
         import jax
@@ -99,7 +135,7 @@ class StreamScanner:
 
             def run(d, l):
                 _, _, anym = eng.match_stats(d, l, seeded=True)
-                return anym
+                return self._union_channels(anym)
 
             fn = self._jits["hits"] = jax.jit(run)
         return fn

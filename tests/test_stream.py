@@ -130,6 +130,44 @@ def test_cli_stream(tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "0"
 
 
+def test_multipattern_stream():
+    """StreamScanner over a MultiPattern: one combined-automaton pass per
+    chunk, per-record hits = union over pattern channels (incl. a
+    nullable channel, which hits every record)."""
+    from roaringregex_tpu.api import MultiPattern
+    from roaringregex_tpu.compiler.nfa import build_nfa
+
+    rng = np.random.default_rng(13)
+    chunks = _chunks(rng, 3, 32, 64, plant=b"cat")
+    mp = MultiPattern(["cat|dog", "[0-9]{2}"])
+    sc = StreamScanner(mp, depth=2)
+    orcs = [OracleEngine(build_nfa(p)) for p in mp.patterns]
+    for (hits, data, lens), (d0, l0) in zip(
+        sc.hits_stream(iter(chunks)), chunks
+    ):
+        for i in range(d0.shape[0]):
+            t = bytes(d0[i, : l0[i]])
+            want = any(o.search(t) for o in orcs)
+            assert bool(hits[i]) == want, t
+    st = sc.stats_stream(iter(chunks))
+    assert st.chunks == 3
+    # nullable channel: every line (and phantom) hits
+    mp2 = MultiPattern(["zz", "a*"])
+    sc2 = StreamScanner(mp2, depth=2)
+    for hits, data, lens in sc2.hits_stream(iter(chunks[:1])):
+        assert hits.all()
+
+
+def test_cli_stream_multipattern(tmp_path, capsys):
+    from roaringregex_tpu.cli import main
+
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"a cat\nnothing here\n42 wide\n")
+    rc = main(["-e", "cat|dog", "-e", "[0-9]{2}", str(p), "--stream", "-c"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "2"
+
+
 def test_pack_records_truncates():
     data, lens = pack_records([b"abc", b"x" * 50], 4, 16)
     assert lens.tolist() == [3, 16, 0, 0]
