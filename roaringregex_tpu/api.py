@@ -569,8 +569,14 @@ class MultiPattern:
         G = self.program.G
         len_g = np.asarray(lengths).reshape(-1, G)
         # pre-size span caps from the combined counting pass (every span
-        # ends at a distinct match-end position)
-        cnt0 = self.count_batch(texts)
+        # ends at a distinct match-end position) — reusing the packed
+        # batch, not re-packing the corpus
+        cnt0, _, _ = self.engine.match_stats(data, lengths, seeded=True)
+        cnt0 = np.asarray(cnt0).reshape(-1, self.P)[:B]
+        if self.nullables.any():
+            cnt0 = np.where(
+                self.nullables[None, :], lengths[:B, None] + 1, cnt0
+            )
         live = ~self.nullables
         mx = int(cnt0[:, live].max()) if B and live.any() else 0
         maxlen = int(lengths[:B].max()) if B else 0

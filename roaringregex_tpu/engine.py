@@ -276,21 +276,9 @@ class ScanEngine:
     # Seeded-alias routing: X{m,n} == X{m,} under seeded semantics
     # ------------------------------------------------------------------
     def _seeded_alias(self):
-        """ScanEngine for the X{m,} alias of a whole-pattern X{m,n}, or
-        None.
-
-        Under SEEDED semantics (match may start anywhere) the upper
-        repetition bound is unobservable: any chain of L >= m consecutive
-        X-matches ending (or starting) at a position contains a
-        min(L, n)-copy sub-chain ending (starting) there, so the ends,
-        starts, count, first-end and lazy-span sets of ``X{m,n}`` equal
-        those of ``X{m,}`` — and the n-fold Glushkov position blowup that
-        forces the >1024-state container tier (the very family the
-        reference's Roaring tier exists for, Parser.cpp:165-168) collapses
-        to the m-copy automaton: ``(abc|de){1,300}`` (1501 states, ~0.05
-        GB/s) scans as ``(abc|de)+`` (6 states, word-tier rate). Unseeded
-        scans (fullmatch, anchored greedy rescans) keep the original
-        program — the bound is observable there."""
+        """Cached ScanEngine over ``seeded_alias_program(self.prog)`` (the
+        X{m,} alias of a whole-pattern X{m,n} — see that function for the
+        semantics argument), or None when no alias applies."""
         built = getattr(self, "_alias_built", False)
         if built:
             return self._alias
@@ -445,14 +433,17 @@ class ScanEngine:
         from .utils.config import get_config
 
         from .ops.scan_swar import SwarScanner
+        from .ops.scan_word import WordScanner
 
         p = self.prog
         if (
             not seeded
             or not getattr(self._pallas, "byte_window_ok", False)
-            or isinstance(self._pallas, SwarScanner)  # SWAR windows
-            # internally (_swar_window); lead>0 here would silently route
-            # it back to the slower matmul path
+            or isinstance(self._pallas, (SwarScanner, WordScanner))
+            # SWAR windows internally (_swar_window); the u32 word tier
+            # doesn't need windows (one record per lane, batch always
+            # wide); lead>0 here would silently route either back to the
+            # slower matmul path
             or self.P != 1
             or self._nullable
             or p.nullable

@@ -35,11 +35,11 @@ from .engine import ScanEngine
 class StreamStats:
     """Aggregate of one streamed scan."""
 
-    matches: int  # total distinct match-end positions
-    matched_records: int  # records with >= 1 match
-    records: int  # nonzero-length records scanned (callers that must
-    # distinguish real empty records from phantom pad rows track their
-    # own per-chunk real counts — see cli.py --stream)
+    matches: int  # total distinct match-end positions (all patterns)
+    matched_records: int  # records with >= 1 match (any pattern)
+    records: int  # real records scanned: the chunk's n_real when the
+    # batch iterator yields (data, lengths, n_real) triples (e.g.
+    # iter_line_batches), else every row of the given chunk
     bytes: int  # corpus bytes scanned
     chunks: int  # device dispatches
 
@@ -76,24 +76,45 @@ class StreamScanner:
                 )
             self.engine = mp.engine
             self.P = mp.P
-            if mp.nullables.any():
+            self._nullables = np.asarray(mp.nullables, bool)
+            if self._nullables.any():
                 import jax.numpy as jnp
 
-                # nullable channels are corrected host-side by
-                # MultiPattern; in a stream the correction is a per-
-                # channel OR (an empty match hits every record)
-                self._null_mask = jnp.asarray(mp.nullables)[None, :]
+                # the combined engine runs nullable=False; an empty match
+                # hits every record, so OR the nullable channels in
+                self._null_mask = jnp.asarray(self._nullables)[None, :]
         elif isinstance(pattern_or_engine, ScanEngine):
             self.engine = pattern_or_engine
             self.P = self.engine.P
+            self._nullables = np.asarray(
+                [bool(self.engine.prog.nullable)] * max(self.P, 1)
+            )
         else:
             from .compiler.serialize import cached_compile
 
             self.engine = ScanEngine(
                 cached_compile(str(pattern_or_engine)), backend=backend
             )
+            self._nullables = np.asarray([bool(self.engine.prog.nullable)])
         self.depth = max(1, int(depth))
         self._jits = {}
+
+    def _pad_group(self, data, lengths):
+        """Round the chunk's record count up to the engine's packing
+        group with zero-length phantom records (the packed kernels scan G
+        records per MXU row). Returns (data, lengths, B_real_rows)."""
+        G = max(1, self.engine.prog.G)
+        B = data.shape[0]
+        Bp = -(-B // G) * G
+        if Bp != B:
+            data = np.concatenate(
+                [np.asarray(data),
+                 np.zeros((Bp - B, data.shape[1]), np.uint8)]
+            )
+            lengths = np.concatenate(
+                [np.asarray(lengths, np.int32), np.zeros(Bp - B, np.int32)]
+            )
+        return data, lengths, B
 
     # -- jit caches --------------------------------------------------------
     def _stats_fn(self):
@@ -104,14 +125,21 @@ class StreamScanner:
         if fn is None:
             eng = self.engine
 
+            P = max(1, self.P)
+
             def run(d, l):
                 cnt, _, anym = eng.match_stats(d, l, seeded=True)
                 anym = self._union_channels(anym)
-                return (
-                    jnp.sum(cnt),
-                    jnp.sum(anym.astype(jnp.int32)),
-                    jnp.sum(l),
-                )
+                # int32 on device (a chunk's totals fit easily); the
+                # cross-chunk accumulation is int64 host-side
+                cnt_pc = jnp.sum(
+                    cnt.reshape(-1, P), axis=0, dtype=jnp.int32
+                )  # [P] per-channel totals
+                return jnp.concatenate([
+                    cnt_pc,
+                    jnp.sum(anym.astype(jnp.int32))[None],
+                    jnp.sum(l.astype(jnp.int32))[None],
+                ])  # [P + 2]
 
             fn = self._jits["stats"] = jax.jit(run)
         return fn
@@ -156,11 +184,13 @@ class StreamScanner:
 
         outs = []
         live = collections.deque()
-        for data, lengths in batches:
+        for batch in batches:
+            data, lengths, n_real = self._norm_batch(batch)
             d = jax.device_put(jnp.asarray(data))
             l = jax.device_put(jnp.asarray(np.asarray(lengths, np.int32)))
             out = fn(d, l)
-            outs.append((out, payload(data, lengths) if payload else None))
+            meta = payload(data, lengths, n_real) if payload else None
+            outs.append((out, meta))
             live.append(out)
             if len(live) >= self.depth:
                 jax.block_until_ready(live.popleft())
@@ -168,28 +198,63 @@ class StreamScanner:
             jax.block_until_ready(list(live))
         return outs
 
+    def _norm_batch(self, batch):
+        """(data, lengths[, n_real]) -> G-padded (data, lengths, n_real).
+        n_real defaults to the full record count of the given chunk
+        (callers that pad their own phantom rows, like iter_line_batches,
+        pass the real count explicitly for exact nullable accounting)."""
+        if len(batch) == 3:
+            data, lengths, n_real = batch
+        else:
+            data, lengths = batch
+            n_real = int(np.asarray(data).shape[0])
+        data, lengths, _ = self._pad_group(data, lengths)
+        return data, lengths, int(n_real)
+
     def stats_stream(self, batches) -> StreamStats:
         """Global (matches, matched_records, records, bytes) over a chunk
         stream — the grep -c aggregate. One jitted dispatch per chunk;
-        three device scalars per chunk, gathered after the stream in ONE
-        stacked transfer (per-scalar fetches each pay a full tunnel round
-        trip — ~0.7 s apiece once the link has left fast mode)."""
+        P + 2 device scalars per chunk (per-channel counts + matched +
+        bytes), gathered after the stream in ONE stacked transfer
+        (per-scalar fetches each pay a full tunnel round trip — ~0.7 s
+        apiece once the link has left fast mode). Nullable patterns /
+        channels are corrected host-side: phantom pad rows are excluded
+        and empty-match counts (len + 1 per real record) are exact when
+        the batch iterator provides n_real."""
         import jax.numpy as jnp
 
         fn = self._stats_fn()
         outs = self._drive(
-            batches, fn, payload=lambda d, l: int((np.asarray(l) > 0).sum())
+            batches, fn,
+            payload=lambda d, l, nr: (nr, int(d.shape[0])),
         )
         if not outs:
             return StreamStats(0, 0, 0, 0, 0)
+        P = max(1, self.P)
         packed = np.asarray(
-            jnp.stack([jnp.stack(o) for o, _ in outs])
-        )  # [chunks, 3], one D2H
-        total, nrec, nbytes = (
-            int(x) for x in packed.sum(axis=0, dtype=np.int64)
-        )
-        nrecords = sum(meta for _, meta in outs)
-        return StreamStats(total, nrec, nrecords, nbytes, len(outs))
+            jnp.stack([o for o, _ in outs])
+        )  # [chunks, P + 2], one D2H
+        sums = packed.sum(axis=0, dtype=np.int64)
+        cnt_pc, nrec, nbytes = sums[:P], int(sums[P]), int(sums[P + 1])
+        n_real = sum(nr for (nr, _) in (m for _, m in outs))
+        n_pad = sum(bp - nr for _, (nr, bp) in outs)
+        # nullable corrections (phantom pad rows + empty-match counts the
+        # combined multi-pattern engine doesn't emit):
+        if self._nullables.any():
+            if P == 1:
+                # engine kernels count phantoms as 1 match + 1 record
+                cnt_pc = cnt_pc - n_pad
+                nrec -= n_pad
+            else:
+                # nullable channels: exact count over real records is
+                # sum(len + 1) = bytes + n_real (the combined engine runs
+                # nullable=False and emits raw automaton counts there);
+                # the union hit every padded row — real records all match
+                cnt_pc = cnt_pc.copy()
+                cnt_pc[self._nullables] = nbytes + n_real
+                nrec = n_real
+        total = int(cnt_pc.sum())
+        return StreamStats(total, nrec, n_real, nbytes, len(outs))
 
     def hits_stream(
         self, batches, *, defer: bool = False
@@ -208,16 +273,17 @@ class StreamScanner:
         import jax.numpy as jnp
 
         fn = self._hits_fn()
-        payload = lambda d, l: (d, np.asarray(l))  # noqa: E731
+        payload = lambda d, l, nr: (d, np.asarray(l))  # noqa: E731
         if defer:
             for hits, (data, lengths) in self._drive(batches, fn, payload):
                 yield np.asarray(hits), data, lengths
             return
         inflight = collections.deque()
-        for data, lengths in batches:
+        for batch in batches:
+            data, lengths, _ = self._norm_batch(batch)
             d = jax.device_put(jnp.asarray(data))
             l = jax.device_put(jnp.asarray(np.asarray(lengths, np.int32)))
-            inflight.append((fn(d, l), payload(data, lengths)))
+            inflight.append((fn(d, l), (data, np.asarray(lengths))))
             if len(inflight) >= self.depth:
                 hits, (dd, ll) = inflight.popleft()
                 yield np.asarray(hits), dd, ll
@@ -300,8 +366,5 @@ def stream_file_stats(
     """grep -c over an arbitrarily large newline-delimited stream."""
     sc = StreamScanner(pattern, depth=depth, backend=backend)
     return sc.stats_stream(
-        (d, l)
-        for d, l, _ in iter_line_batches(
-            fileobj, rows=rows, chunk_bytes=chunk_bytes
-        )
+        iter_line_batches(fileobj, rows=rows, chunk_bytes=chunk_bytes)
     )

@@ -168,6 +168,37 @@ def test_cli_stream_multipattern(tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "2"
 
 
+def test_stats_stream_nullable_padding_exact():
+    """Phantom pad rows must not count as matches/records for nullable
+    patterns (single- and multi-pattern), and nullable channels must get
+    the exact empty-match counts (len + 1 per real record)."""
+    from roaringregex_tpu.api import MultiPattern
+    from roaringregex_tpu.stream import stream_file_stats
+
+    st = stream_file_stats("a*", io.BytesIO(b"aa\nb\n\n"), rows=64,
+                           chunk_bytes=64)
+    # ends per record: 'aa' -> 3, 'b' -> 1 (empty match positions 0,1 and
+    # ... a* on 'b': ends {0,1}) wait oracle: len+1 = 2; '' -> 1
+    from roaringregex_tpu.oracle.engine import OracleEngine
+    orc = OracleEngine.compile("a*")
+    want = sum(len(orc.ends(t)) for t in [b"aa", b"b", b""])
+    assert st.matches == want
+    assert st.matched_records == 3
+    assert st.records == 3
+
+    mp = MultiPattern(["a*", "b"])
+    sc = StreamScanner(mp, depth=2)
+    data, lens = pack_records([b"aa", b"b", b""], 3, 16)
+    st2 = sc.stats_stream([(data, lens, 3)])
+    orc_b = OracleEngine.compile("b")
+    want2 = want + sum(len(orc_b.ends(t)) for t in [b"aa", b"b", b""])
+    assert st2.matches == want2
+    assert st2.matched_records == 3
+    # G-misaligned chunks pad internally instead of crashing
+    st3 = sc.stats_stream([(data, lens)])
+    assert st3.matches == want2
+
+
 def test_pack_records_truncates():
     data, lens = pack_records([b"abc", b"x" * 50], 4, 16)
     assert lens.tolist() == [3, 16, 0, 0]
