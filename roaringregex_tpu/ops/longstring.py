@@ -1193,6 +1193,11 @@ class DotStarLongScanner:
         """FastLongScanner._run duck type (bench pipelining): un-synced
         device values for seeded count/any; everything else generic."""
         if seeded and mode in ("count", "any"):
+            if not self.trail and hasattr(self.inner, "_run"):
+                # no trailing .*: P's ends ARE the core's ends — take the
+                # inner scanner's fastest stats path directly (overlapped
+                # / counting / speculative), no flag stream needed
+                return self.inner._run(text, seeded, mode)
             data, n = self._data(text)
             return self._ends_post(data, n=n, mode=mode)
         return self._fallback()._run(text, seeded, mode)
@@ -1206,14 +1211,12 @@ class DotStarLongScanner:
     def count_ends(self, text) -> int:
         if self.prog.nullable:
             return self._data(text)[1] + 1
-        data, n = self._data(text)
-        return int(self._ends_post(data, n=n, mode="count"))
+        return int(self._run(text, True, "count"))
 
     def search(self, text) -> bool:
         if self.prog.nullable:
             return True
-        data, n = self._data(text)
-        return bool(self._ends_post(data, n=n, mode="any"))
+        return bool(self._run(text, True, "any"))
 
     def fullmatch(self, text) -> bool:
         return bool(self._fallback().fullmatch(text))
