@@ -44,6 +44,59 @@ def _gen_texts(rng, n=10):
     return out
 
 
+def _gen_blowup_pattern(rng) -> str:
+    """Big-automaton repetition families: counting-tier alternation
+    bodies, seeded-alias whole-pattern blowups, dotstar wrappers — the
+    round-4 rewrite tiers."""
+    bodies = ["a", "[ab]", "ab", "(ab|cd)", "(a|b)", "(abc|xbc)",
+              "(ab|c)", "(abc|de)"]
+    body = bodies[int(rng.integers(0, len(bodies)))]
+    m = int(rng.integers(0, 4))
+    n = int(rng.integers(m + 1, 60))
+    pat = f"{body}{{{m},{n}}}"
+    roll = rng.random()
+    if roll < 0.2:
+        pat = ".*" + pat
+    elif roll < 0.35:
+        pat = pat + ".*"
+    elif roll < 0.45:
+        pat = "x" + pat  # context blocks the seeded alias
+    return pat
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_blowup_tiers_vs_oracle(seed):
+    """Fuzz the rewrite tiers (counting branches / seeded alias / dotstar
+    gating) through the public API against the oracle."""
+    rng = np.random.default_rng(1000 + seed)
+    tested = 0
+    while tested < 12:
+        pattern = _gen_blowup_pattern(rng)
+        try:
+            pat = rrx.Pattern(pattern)
+        except rrx.RegexSyntaxError:
+            continue
+        tested += 1
+        orc = OracleEngine(pat.program.nfa)
+        texts = [b"", b"ab", b"abcd" * 10, b"x" + b"ab" * 20]
+        for _ in range(6):
+            ln = int(rng.integers(0, 120))
+            texts.append(
+                bytes(rng.choice(list(b"abcdex"), size=ln).astype(np.uint8))
+            )
+        cnt = pat.count_batch(texts)
+        sr = pat.search_batch(texts)
+        fm = pat.fullmatch_batch(texts)
+        for i, t in enumerate(texts):
+            ends = orc.ends(t)
+            assert int(cnt[i]) == len(ends), (pattern, t)
+            assert bool(sr[i]) == bool(ends), (pattern, t)
+            assert bool(fm[i]) == orc.fullmatch(t), (pattern, t)
+        spans = pat.finditer_batch(texts[:6])
+        for t, sp in zip(texts[:6], spans):
+            assert sp == list(orc.finditer(t)), (pattern, t)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_engines_vs_oracle(seed):
     rng = np.random.default_rng(seed)
