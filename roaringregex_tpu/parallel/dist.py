@@ -113,6 +113,7 @@ class DistScanner:
         self.axis = axis
         self.n_runs = len(prog.byte_runs[0])
         self.dense = prog.tier != "sparse"
+        self._has_accept_map = accept_map is not None
         self.P = channels_per_record
         self._nullable = prog.nullable if nullable is None else nullable
         tables = spk.packed_tables(prog) if self.dense else sx.device_tables(prog)
@@ -204,6 +205,10 @@ class DistScanner:
         """Global (total_matches, total_matched_records, total_bytes) from a
         sharded raw-byte batch: the psum-reduced scalar statistics of
         BASELINE config 5. Returned arrays are fully replicated scalars."""
+        if seeded:
+            ad = self._alias_dist()
+            if ad is not None:
+                return ad.global_stats(data, lengths, seeded=True)
 
         @functools.partial(
             jax.shard_map,
@@ -227,6 +232,10 @@ class DistScanner:
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Sharded per-record (count, first_end, any) — stays sharded for
         downstream span extraction on the owning chip."""
+        if seeded:
+            ad = self._alias_dist()
+            if ad is not None:
+                return ad.per_record(data, lengths, seeded=True)
 
         @functools.partial(
             jax.shard_map,
@@ -259,7 +268,16 @@ class DistScanner:
         its records' spans on its own chip (reverse pass + device-side
         anchored-rescan rounds; no cross-chip traffic — spans stay with
         the record's owner). Returns sharded (starts [B, cap],
-        ends [B, cap], count [B], overflow [B]). Dense tiers."""
+        ends [B, cap], count [B], overflow [B]). Dense tiers — X{m,n}
+        blowups route their LAZY extraction through the seeded alias
+        (identical lazy spans; greedy observes the bound and needs the
+        original tier)."""
+        if not longest:
+            ad = self._alias_dist()
+            if ad is not None:
+                return ad.per_record_spans(
+                    data, lengths, cap=cap, longest=False
+                )
         assert self.dense, "sharded spans need a dense tier"
         assert self.P == 1, "span extraction is single-pattern"
         prog = self.prog
@@ -467,19 +485,19 @@ class DistScanner:
 
     def _alias_dist(self):
         """DistScanner over the X{m,} seeded alias of a whole-pattern
-        X{m,n} blowup (engine.seeded_alias_program) — the sharded long
-        modes are seeded, so a 1501-state container program scans as its
-        handful-of-states alias on every chip."""
+        X{m,n} blowup (engine.seeded_alias_program): seeded entry points
+        (stats, grep, lazy spans, long modes) scan the handful-of-states
+        alias on every chip instead of the >1024-state container program.
+        Single-pattern scanners only (accept channels stay original)."""
         ad = getattr(self, "_adist", None)
         if ad is None:
-            from ..engine import seeded_alias_program
+            ad = False
+            if self.P == 1 and not self._has_accept_map:
+                from ..engine import seeded_alias_program
 
-            ap = seeded_alias_program(self.prog)
-            ad = (
-                DistScanner(ap, self.mesh, self.axis)
-                if ap is not None
-                else False
-            )
+                ap = seeded_alias_program(self.prog)
+                if ap is not None:
+                    ad = DistScanner(ap, self.mesh, self.axis)
             self._adist = ad
         return ad or None
 

@@ -69,6 +69,39 @@ def test_alias_long_string_parity():
             assert set(np.nonzero(sc.ends_bitmap(t))[0]) == orc.ends(t)
 
 
+def test_alias_dist_batched_paths():
+    """Seeded sharded entry points (stats / per-record / lazy spans) on a
+    >1024-state blowup route through the alias DistScanner — including
+    sharded span extraction, which the sparse tier alone cannot do."""
+    import jax
+    from roaringregex_tpu.parallel import DistScanner, make_mesh, shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(8)
+    ds = DistScanner(compile_program("(abc|de){1,300}"), mesh)
+    orc = OracleEngine.compile("(abc|de){1,300}")
+    recs = [b"abcde" * 6, b"", b"de" * 8, b"xxabc", b"deabcde", b"zzz",
+            b"abc", b"dedede"] * 2
+    data = np.zeros((16, 64), np.uint8)
+    lens = np.zeros(16, np.int32)
+    for i, r in enumerate(recs):
+        data[i, : len(r)] = np.frombuffer(r, np.uint8)
+        lens[i] = len(r)
+    d, l = shard_batch(mesh, data, lens)
+    _, n, _ = ds.global_stats(d, l)
+    assert int(n) == sum(orc.search(r) for r in recs)
+    cnt, _, _ = ds.per_record(d, l, seeded=True)
+    for i, r in enumerate(recs):
+        assert int(np.asarray(cnt)[i]) == len(orc.ends(r)), (i, r)
+    s, e, c, o = ds.per_record_spans(d, l, cap=32, longest=False)
+    assert not np.asarray(o).any()
+    for i, r in enumerate(recs):
+        got = list(zip(np.asarray(s)[i, : np.asarray(c)[i]].tolist(),
+                       np.asarray(e)[i, : np.asarray(c)[i]].tolist()))
+        assert got == list(orc.finditer(r)), (i, r)
+
+
 def test_alias_dist_long_stats(request):
     """Sharded long-string stats route through the alias DistScanner."""
     import jax
