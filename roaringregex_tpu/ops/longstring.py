@@ -671,6 +671,13 @@ class FastLongScanner:
 
             W = get_config().spec_warmup
             if W and n + 2 > self.block:
+                # NB: reading the validation verdict is a host sync, so
+                # cyclic count/any calls are NOT pipelineable through
+                # _run (callers that need back-to-back un-synced scans
+                # can drive _spec_impl directly and batch the verdicts,
+                # as bench.py's device-loop does); a failed validation
+                # costs one wasted speculative pass before the exact
+                # summary fallback below. RRX_SPEC_WARMUP=0 disables.
                 val, ok = self._spec_impl(data, n=n, mode=mode, W=W)
                 if bool(ok):  # host sync: validation verdict
                     return val

@@ -48,8 +48,12 @@ class StreamScanner:
     """Compile-once / stream-many scanner with a depth-K upload pipeline.
 
     ``batches`` iterables yield ``(data [B, L] uint8, lengths [B] int32)``
-    host arrays. Shapes should repeat (pad the final partial chunk with
-    zero-length phantom records) — each new (B, L) shape compiles once.
+    pairs or ``(data, lengths, n_real)`` triples. Chunks are padded to
+    the engine's packing group internally; rows beyond ``n_real`` are
+    treated as phantom padding (excluded from nullable-pattern match
+    accounting). Do NOT pre-pad chunks yourself without passing
+    ``n_real`` — the pad rows would count as real records. Each new
+    (B, L) shape compiles once, so keep shapes repeating.
     """
 
     def __init__(
@@ -66,6 +70,11 @@ class StreamScanner:
 
         self.P = 1
         self._null_mask = None
+        # _engine_nullable: the engine's kernels apply the nullable
+        # correction themselves (plain Pattern engines). MultiPattern
+        # engines always run nullable=False and leave per-channel
+        # correction to us, whatever P is.
+        self._engine_nullable = False
         if isinstance(pattern_or_engine, MultiPattern):
             mp = pattern_or_engine
             if mp._singles is not None:
@@ -77,25 +86,33 @@ class StreamScanner:
             self.engine = mp.engine
             self.P = mp.P
             self._nullables = np.asarray(mp.nullables, bool)
-            if self._nullables.any():
-                import jax.numpy as jnp
-
-                # the combined engine runs nullable=False; an empty match
-                # hits every record, so OR the nullable channels in
-                self._null_mask = jnp.asarray(self._nullables)[None, :]
         elif isinstance(pattern_or_engine, ScanEngine):
             self.engine = pattern_or_engine
             self.P = self.engine.P
-            self._nullables = np.asarray(
-                [bool(self.engine.prog.nullable)] * max(self.P, 1)
-            )
+            if self.P > 1 and self.engine.prog.nullable:
+                raise ValueError(
+                    "pass the MultiPattern itself (not its engine) for "
+                    "multi-channel streaming with nullable patterns — "
+                    "per-channel nullability is not recoverable from the "
+                    "combined engine"
+                )
+            self._nullables = np.zeros(max(self.P, 1), bool)
+            self._engine_nullable = bool(self.engine._nullable)
+            self._nullables[:] = self._engine_nullable and self.P == 1
         else:
             from .compiler.serialize import cached_compile
 
             self.engine = ScanEngine(
                 cached_compile(str(pattern_or_engine)), backend=backend
             )
-            self._nullables = np.asarray([bool(self.engine.prog.nullable)])
+            self._engine_nullable = bool(self.engine._nullable)
+            self._nullables = np.asarray([self._engine_nullable])
+        if self._nullables.any() and not self._engine_nullable:
+            import jax.numpy as jnp
+
+            # engine emits raw counts/hits for nullable channels; an
+            # empty match hits every record, so OR those channels in
+            self._null_mask = jnp.asarray(self._nullables)[None, :]
         self.depth = max(1, int(depth))
         self._jits = {}
 
@@ -146,10 +163,12 @@ class StreamScanner:
 
     def _union_channels(self, anym):
         """[B*P] per-channel hits -> [B] per-record union (multi-pattern
-        grep semantics: a line matches if ANY pattern matches)."""
-        if self.P <= 1:
+        grep semantics: a line matches if ANY pattern matches). Applies
+        the nullable-channel OR even for P == 1 (a single-pattern
+        MultiPattern engine emits raw hits for a nullable pattern)."""
+        if self.P <= 1 and self._null_mask is None:
             return anym
-        per = anym.reshape(-1, self.P)
+        per = anym.reshape(-1, max(self.P, 1))
         if self._null_mask is not None:
             per = per | self._null_mask
         return per.any(axis=1)
@@ -240,19 +259,19 @@ class StreamScanner:
         n_pad = sum(bp - nr for _, (nr, bp) in outs)
         # nullable corrections (phantom pad rows + empty-match counts the
         # combined multi-pattern engine doesn't emit):
-        if self._nullables.any():
-            if P == 1:
-                # engine kernels count phantoms as 1 match + 1 record
-                cnt_pc = cnt_pc - n_pad
-                nrec -= n_pad
-            else:
-                # nullable channels: exact count over real records is
-                # sum(len + 1) = bytes + n_real (the combined engine runs
-                # nullable=False and emits raw automaton counts there);
-                # the union hit every padded row — real records all match
-                cnt_pc = cnt_pc.copy()
-                cnt_pc[self._nullables] = nbytes + n_real
-                nrec = n_real
+        if self._engine_nullable:
+            # engine kernels already count empty matches — but they also
+            # count each phantom pad row as 1 match + 1 matched record
+            cnt_pc = cnt_pc - n_pad
+            nrec -= n_pad
+        elif self._nullables.any():
+            # nullable channels: exact count over real records is
+            # sum(len + 1) = bytes + n_real (the engine runs
+            # nullable=False and emits raw automaton counts there); the
+            # union hit every padded row — real records all match
+            cnt_pc = cnt_pc.copy()
+            cnt_pc[self._nullables] = nbytes + n_real
+            nrec = n_real
         total = int(cnt_pc.sum())
         return StreamStats(total, nrec, n_real, nbytes, len(outs))
 

@@ -199,6 +199,38 @@ def test_stats_stream_nullable_padding_exact():
     assert st3.matches == want2
 
 
+def test_stream_single_nullable_multipattern():
+    """MultiPattern(['a*']) (P == 1 but the engine runs nullable=False):
+    stats and hits must apply the channel correction, not the
+    native-nullable-engine one."""
+    from roaringregex_tpu.api import MultiPattern
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    orc = OracleEngine.compile("a*")
+    data, lens = pack_records([b"aa", b"b", b""], 3, 16)
+    sc = StreamScanner(MultiPattern(["a*"]), depth=2)
+    st = sc.stats_stream([(data, lens, 3)])
+    want = sum(len(orc.ends(t)) for t in [b"aa", b"b", b""])
+    assert (st.matches, st.matched_records, st.records) == (want, 3, 3)
+    hits, _, _ = next(iter(sc.hits_stream([(data, lens, 3)])))
+    assert hits[:3].all()
+
+
+def test_stream_raw_engine_gates():
+    """A raw multi-channel engine with a nullable pattern is rejected
+    (per-channel nullability unrecoverable); non-nullable multi engines
+    and plain single-pattern engines work."""
+    from roaringregex_tpu.api import MultiPattern
+
+    with pytest.raises(ValueError):
+        StreamScanner(MultiPattern(["a*", "b"]).engine)
+    data, lens = pack_records([b"aa", b"b", b""], 3, 16)
+    st = StreamScanner(MultiPattern(["ab", "b"]).engine).stats_stream(
+        [(data, lens, 3)]
+    )
+    assert st.matches == 1  # only 'b' in b"b"
+
+
 def test_pack_records_truncates():
     data, lens = pack_records([b"abc", b"x" * 50], 4, 16)
     assert lens.tolist() == [3, 16, 0, 0]
