@@ -720,7 +720,8 @@ def main():
     # artifact, not shipped silently): single-batch latency as the
     # reference-style per-call number, sample variance, overlap gain
     for k in ("single_batch_ms", "cv", "pipeline_gain", "retries",
-              "anomalous"):
+              "anomalous", "device_loop", "dispatch_gbps",
+              "upload_ceiling_gbps", "overlap_efficiency"):
         if k in info:
             out[k] = info[k]
     print(json.dumps(out))
