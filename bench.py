@@ -706,6 +706,21 @@ def main():
             f"cv={sc.get('cv', '?')}, gain={sc.get('pipeline_gain', '?')}x"
             f"{', ANOMALOUS' if sc.get('anomalous') else ''})")
 
+    if args.all and results:
+        # machine-readable per-config artifact (stderr is human-facing)
+        rows = {
+            str(ci): dict(
+                name=CONFIGS[ci]["name"],
+                pattern=CONFIGS[ci]["pattern"],
+                gbps=round(results[ci] / 1e9, 3),
+                **{k: v for k, v in infos[ci].items() if k != "rate"},
+            )
+            for ci in results
+        }
+        with open("BENCHALL.json", "w") as f:
+            json.dump(rows, f, indent=1)
+        log("per-config artifact written to BENCHALL.json")
+
     hc = 1 if 1 in results else cfgs[0]
     headline = results[hc]
     info = infos.get(hc, {})
