@@ -92,6 +92,60 @@ def seeded_alias_program(prog: DeviceProgram):
         return None
 
 
+def relaxed_prefilter_program(prog: DeviceProgram):
+    """Tiny superset-language program for hyperscan-style prefiltering of
+    the sparse container tier, or None.
+
+    Replacing every bounded repeat ``X{m,n}`` with ``X{min(m,4),}``
+    relaxes the language to a SUPERSET (a chain of m..n copies is also a
+    chain of >= min(m,4) copies when m >= 4), so ``search(P') == False`` proves
+    ``search(P) == False`` — and P' collapses the n-fold position blowup
+    to a handful of states. The engine scans P' at word/SWAR-tier rate,
+    compacts the (typically rare) candidate records, and runs the
+    >1024-state container kernels only on those. Unlike the seeded alias
+    (exact, whole-pattern only) this works with arbitrary context around
+    the repeats, because it is only used as a filter."""
+    if prog.tier != "sparse" or prog.nullable:
+        return None
+    from .utils.config import get_config
+
+    if not get_config().sparse_prefilter:
+        return None
+    try:
+        from .compiler.parser import Alt, Concat, Lit, Repeat, parse
+
+        changed = []
+
+        def relax(nd):
+            if isinstance(nd, Repeat):
+                child = relax(nd.child)
+                if nd.hi is not None and nd.hi > 1:
+                    changed.append(True)
+                    # keep up to 4 required copies: a chain of m..n copies
+                    # is a chain of >= min(m, 4) copies (superset), and
+                    # the extra required copies slash false positives
+                    return Repeat(child, min(nd.lo, 4), None)
+                return Repeat(child, nd.lo, nd.hi)
+            if isinstance(nd, Concat):
+                return Concat(tuple(relax(p) for p in nd.parts))
+            if isinstance(nd, Alt):
+                return Alt(tuple(relax(p) for p in nd.parts))
+            return nd
+
+        ast = relax(parse(prog.pattern))
+        if not changed:
+            return None
+        from .compiler.nfa import build_nfa_ast
+        from .compiler.program import compile_program
+
+        nfa = build_nfa_ast(ast, f"<prefilter:{prog.pattern}>")
+        if nfa.nullable or nfa.n_states > 64:
+            return None
+        return compile_program(nfa)
+    except Exception:  # pragma: no cover - prefilter is best-effort
+        return None
+
+
 def _default_backend(tier: str) -> str:
     env = os.environ.get("RRX_BACKEND")
     if env:
@@ -271,6 +325,18 @@ class ScanEngine:
                     self._pallas = swar or spl.PallasScanner(
                         prog, self._ptables, nullable=nullable
                     )
+        self._prefilter_eng = None
+        if (
+            self.P == 1
+            and accept_map is None
+            and prog.tier == "sparse"
+            and seeded_alias_program(prog) is None
+        ):
+            rp = relaxed_prefilter_program(prog)
+            if rp is not None:
+                self._prefilter_eng = ScanEngine(
+                    rp, backend=self.backend_requested
+                )
 
     # ------------------------------------------------------------------
     # Seeded-alias routing: X{m,n} == X{m,} under seeded semantics
@@ -501,6 +567,48 @@ class ScanEngine:
             return self._alias_call(
                 alias, "match_stats", data, lengths, seeded=True
             )
+        if seeded and self._prefilter_eng is not None:
+            return self._match_stats_prefiltered(data, lengths)
+        return self._match_stats_raw(data, lengths, seeded=seeded)
+
+    def _match_stats_prefiltered(self, data, lengths):
+        """Two-phase sparse scan: a tiny superset-language scan finds
+        candidate records (relaxed_prefilter_program), the container
+        kernels run on a compacted candidate batch, and results scatter
+        back — all traceable (lax.cond picks the full scan when the
+        candidate count exceeds the static compaction bucket, so the
+        result is exact either way)."""
+        data = jnp.asarray(data)
+        lengths = jnp.asarray(lengths)
+        B = data.shape[0]
+        _, _, pre_any = self._alias_call(
+            self._prefilter_eng, "match_stats", data, lengths, seeded=True
+        )
+        pre_any = pre_any.reshape(-1)[:B]
+        nhits = jnp.sum(pre_any.astype(jnp.int32))
+        bcap = min(B, max(128, -(-(B // 4) // 128) * 128))
+        if bcap >= B:
+            return self._match_stats_raw(data, lengths, seeded=True)
+
+        def compacted(_):
+            (idx,) = jnp.nonzero(pre_any, size=bcap, fill_value=0)
+            valid = jnp.arange(bcap) < nhits
+            d2 = jnp.take(data, idx, axis=0)
+            l2 = jnp.where(valid, jnp.take(lengths, idx), 0)
+            c2, f2, a2 = self._match_stats_raw(d2, l2, seeded=True)
+            # drop invalid compaction slots (they all alias record 0)
+            safe = jnp.where(valid, idx, B)
+            cnt = jnp.zeros(B, c2.dtype).at[safe].set(c2, mode="drop")
+            first = jnp.full(B, -1, f2.dtype).at[safe].set(f2, mode="drop")
+            anym = jnp.zeros(B, a2.dtype).at[safe].set(a2, mode="drop")
+            return cnt, first, anym
+
+        def full(_):
+            return self._match_stats_raw(data, lengths, seeded=True)
+
+        return jax.lax.cond(nhits <= bcap, compacted, full, None)
+
+    def _match_stats_raw(self, data, lengths, *, seeded: bool):
         if self._pallas is not None:
             data = jnp.asarray(data)
             plan = self._window_plan(data.shape[1], data.shape[0], seeded)

@@ -91,6 +91,13 @@ class RrxConfig:
     seeded_alias: bool = field(
         default_factory=lambda: os.environ.get("RRX_ALIAS", "1") != "0"
     )
+    # hyperscan-style prefilter for the sparse container tier: scan a
+    # tiny superset-language program first and run the container kernels
+    # only on compacted candidate records (engine.relaxed_prefilter_program)
+    sparse_prefilter: bool = field(
+        default_factory=lambda: os.environ.get("RRX_SPARSE_PREFILTER", "1")
+        != "0"
+    )
     # sparse-tier VMEM caps (partial containers / lane width)
     sparse_partial_max: int = field(
         default_factory=lambda: _env_int("RRX_SPARSE_PARTIAL_MAX", 120)

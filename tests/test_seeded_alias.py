@@ -119,6 +119,57 @@ def test_alias_dist_long_stats(request):
     assert ds.long_count(blob, block=256) == len(orc.ends(blob))
 
 
+def test_sparse_prefilter_parity():
+    """Hyperscan-style prefilter (engine.relaxed_prefilter_program): the
+    container kernels run only on compacted candidate records; results
+    must be exact for hit-light batches (compacted branch) AND hit-heavy
+    batches (candidate count exceeds the bucket -> full-scan branch)."""
+    from roaringregex_tpu.engine import relaxed_prefilter_program
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    pat = "x(ab|c){400,520}y"
+    hit = b"x" + b"ab" * 200 + b"c" * 210 + b"y"
+    prog = compile_program(pat)
+    eng = ScanEngine(prog, backend="pallas")
+    assert eng._prefilter_eng is not None
+    assert relaxed_prefilter_program(prog).n_states <= 64
+    orc = OracleEngine.compile(pat)
+    rng = np.random.default_rng(47)
+    texts = [
+        bytes(rng.choice(list(b"abcxyz"), int(rng.integers(0, 900))))
+        for _ in range(29)
+    ] + [hit, b"", hit + b"tail"]
+    L = 1 << (max(len(t) for t in texts) - 1).bit_length()
+    data = np.zeros((len(texts), L), np.uint8)
+    lens = np.zeros(len(texts), np.int32)
+    for i, t in enumerate(texts):
+        data[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lens[i] = len(t)
+    cnt, first, anym = map(
+        np.asarray, eng.match_stats(data, lens, seeded=True)
+    )
+    for i, t in enumerate(texts):
+        ends = orc.ends(t)
+        assert int(cnt[i]) == len(ends), (i, len(t))
+        assert int(first[i]) == (min(ends) if ends else -1), i
+        assert bool(anym[i]) == bool(ends), i
+    # hit-heavy: every record a candidate -> lax.cond full branch
+    dh = np.zeros((256, 1024), np.uint8)
+    lh = np.full(256, len(hit), np.int32)
+    dh[:, : len(hit)] = np.frombuffer(hit, np.uint8)
+    ch, _, _ = map(np.asarray, eng.match_stats(dh, lh, seeded=True))
+    want = len(orc.ends(hit))
+    assert all(int(c) == want for c in ch)
+    # kill switch
+    base = get_config()
+    try:
+        set_config(base.with_(sparse_prefilter=False))
+        eng2 = ScanEngine(compile_program(pat), backend="pallas")
+        assert eng2._prefilter_eng is None
+    finally:
+        set_config(base)
+
+
 @pytest.mark.parametrize(
     "pattern", ["(abc|de){1,300}", "(ab|c){2,400}", "(abc|de){3,500}"]
 )
