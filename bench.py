@@ -308,7 +308,7 @@ CONFIGS = {
     # x...y context blocks the whole-pattern seeded-alias rewrite, so
     # this measures the RAW container kernels
     10: dict(pattern="x(ab|c){400,520}y", rec_len=1024,
-             name="sparse tier >1024 states (raw container kernels)",
+             name="sparse tier >1024 states (prefilter + containers)",
              no_agg=True, plant=(b"x" + b"ab" * 200 + b"c" * 210 + b"y",)),
     # out-of-core streaming: corpus larger than any single device batch,
     # chunked host->device with `depth` uploads in flight while earlier
