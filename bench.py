@@ -299,14 +299,15 @@ CONFIGS = {
             name="ONE long string, bounded-rep (counting windows)",
             longstr=True),
     # the reference's namesake tier (Parser.cpp:165-168): >1024-state
-    # non-counting automaton through the roaring-style container kernels.
-    # The branches have UNEQUAL lengths (abc=3, de=2) so the stride-k
-    # chain plan cannot apply — equal-length bodies like (ab|cd){1,400}
-    # route to the run-length counting tier instead (counting_plan).
-    # no_agg: the container kernels are compute-bound (~230 ms / 10 MB),
-    # so dispatch aggregation only multiplies the compile time
-    # x...y context blocks the whole-pattern seeded-alias rewrite, so
-    # this measures the RAW container kernels
+    # automaton through the roaring-style container kernels. The x...y
+    # context blocks the whole-pattern seeded-alias rewrite and the
+    # variable-length branches block the counting plan, so the container
+    # kernels do the real matching — behind the hyperscan-style
+    # prefilter (engine.relaxed_prefilter_program) that compacts
+    # candidate records first; RRX_SPARSE_PREFILTER=0 exposes the raw
+    # kernels (~0.097 GB/s, compute-bound). no_agg: still container-
+    # bound on the candidate batch, so dispatch aggregation only
+    # multiplies compile time
     10: dict(pattern="x(ab|c){400,520}y", rec_len=1024,
              name="sparse tier >1024 states (prefilter + containers)",
              no_agg=True, plant=(b"x" + b"ab" * 200 + b"c" * 210 + b"y",)),

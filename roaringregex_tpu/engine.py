@@ -112,7 +112,7 @@ def relaxed_prefilter_program(prog: DeviceProgram):
     if not get_config().sparse_prefilter:
         return None
     try:
-        from .compiler.parser import Alt, Concat, Lit, Repeat, parse
+        from .compiler.parser import Alt, Concat, Repeat, parse
 
         changed = []
 
@@ -325,18 +325,7 @@ class ScanEngine:
                     self._pallas = swar or spl.PallasScanner(
                         prog, self._ptables, nullable=nullable
                     )
-        self._prefilter_eng = None
-        if (
-            self.P == 1
-            and accept_map is None
-            and prog.tier == "sparse"
-            and seeded_alias_program(prog) is None
-        ):
-            rp = relaxed_prefilter_program(prog)
-            if rp is not None:
-                self._prefilter_eng = ScanEngine(
-                    rp, backend=self.backend_requested
-                )
+        self._accept_map_set = accept_map is not None
 
     # ------------------------------------------------------------------
     # Seeded-alias routing: X{m,n} == X{m,} under seeded semantics
@@ -567,9 +556,34 @@ class ScanEngine:
             return self._alias_call(
                 alias, "match_stats", data, lengths, seeded=True
             )
-        if seeded and self._prefilter_eng is not None:
-            return self._match_stats_prefiltered(data, lengths)
+        if seeded and jnp.asarray(data).shape[0] > 128:
+            pf = self._prefilter()
+            if pf is not None:
+                return self._match_stats_prefiltered(data, lengths)
         return self._match_stats_raw(data, lengths, seeded=seeded)
+
+    def _prefilter(self):
+        """Lazily built prefilter engine (relaxed_prefilter_program), or
+        None. Only pays off against the container kernels: counting-tier
+        sparse programs are already one int32 per record, and small
+        batches (B <= the compaction bucket floor) skip it entirely."""
+        if getattr(self, "_prefilter_built", False):
+            return self._prefilter_eng
+        self._prefilter_built = True
+        self._prefilter_eng = None
+        if (
+            self.P == 1
+            and not self._accept_map_set
+            and self._counting is None
+            and self.prog.tier == "sparse"
+            and seeded_alias_program(self.prog) is None
+        ):
+            rp = relaxed_prefilter_program(self.prog)
+            if rp is not None:
+                self._prefilter_eng = ScanEngine(
+                    rp, backend=self.backend_requested
+                )
+        return self._prefilter_eng
 
     def _match_stats_prefiltered(self, data, lengths):
         """Two-phase sparse scan: a tiny superset-language scan finds
@@ -581,14 +595,14 @@ class ScanEngine:
         data = jnp.asarray(data)
         lengths = jnp.asarray(lengths)
         B = data.shape[0]
+        bcap = min(B, max(128, -(-(B // 4) // 128) * 128))
+        if bcap >= B:  # static: nothing to gain, skip the filter scan
+            return self._match_stats_raw(data, lengths, seeded=True)
         _, _, pre_any = self._alias_call(
             self._prefilter_eng, "match_stats", data, lengths, seeded=True
         )
         pre_any = pre_any.reshape(-1)[:B]
         nhits = jnp.sum(pre_any.astype(jnp.int32))
-        bcap = min(B, max(128, -(-(B // 4) // 128) * 128))
-        if bcap >= B:
-            return self._match_stats_raw(data, lengths, seeded=True)
 
         def compacted(_):
             (idx,) = jnp.nonzero(pre_any, size=bcap, fill_value=0)

@@ -62,7 +62,7 @@ def test_alias_long_string_parity():
         assert isinstance(sc, AliasLongScanner), pat
         orc = OracleEngine.compile(pat)
         for t in [b"", b"abcde" * 200, b"de" * 400, b"abc",
-                  bytes(rng.choice(list(b"abcde"), 1200))]:
+                  rng.choice(list(b"abcde"), 1200).astype(np.uint8).tobytes()]:
             assert sc.count_ends(t) == len(orc.ends(t)), (pat, len(t))
             assert sc.search(t) == bool(orc.ends(t)), (pat, len(t))
             assert sc.fullmatch(t) == orc.fullmatch(t), (pat, len(t))
@@ -131,12 +131,12 @@ def test_sparse_prefilter_parity():
     hit = b"x" + b"ab" * 200 + b"c" * 210 + b"y"
     prog = compile_program(pat)
     eng = ScanEngine(prog, backend="pallas")
-    assert eng._prefilter_eng is not None
+    assert eng._prefilter() is not None
     assert relaxed_prefilter_program(prog).n_states <= 64
     orc = OracleEngine.compile(pat)
     rng = np.random.default_rng(47)
     texts = [
-        bytes(rng.choice(list(b"abcxyz"), int(rng.integers(0, 900))))
+        rng.choice(list(b"abcxyz"), int(rng.integers(0, 900))).astype(np.uint8).tobytes()
         for _ in range(29)
     ] + [hit, b"", hit + b"tail"]
     L = 1 << (max(len(t) for t in texts) - 1).bit_length()
@@ -153,6 +153,27 @@ def test_sparse_prefilter_parity():
         assert int(cnt[i]) == len(ends), (i, len(t))
         assert int(first[i]) == (min(ends) if ends else -1), i
         assert bool(anym[i]) == bool(ends), i
+    # hit-light LARGE batch: B=512 > bucket floor, ~8 candidates ->
+    # exercises the compacted branch (nonzero + gather + drop-scatter)
+    Bc = 512
+    dc = np.zeros((Bc, 1024), np.uint8)
+    lc = np.zeros(Bc, np.int32)
+    rowsc = []
+    for i in range(Bc):
+        t = rng.choice(list(b"abcxyz"), int(rng.integers(0, 900))).astype(
+            np.uint8
+        ).tobytes()
+        if i % 61 == 0:
+            t = hit if i % 2 else hit + b"tt"
+        rowsc.append(t)
+        dc[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lc[i] = len(t)
+    cc, fc, ac = map(np.asarray, eng.match_stats(dc, lc, seeded=True))
+    for i, t in enumerate(rowsc):
+        ends = orc.ends(t)
+        assert int(cc[i]) == len(ends), (i, len(t))
+        assert int(fc[i]) == (min(ends) if ends else -1), i
+        assert bool(ac[i]) == bool(ends), i
     # hit-heavy: every record a candidate -> lax.cond full branch
     dh = np.zeros((256, 1024), np.uint8)
     lh = np.full(256, len(hit), np.int32)
@@ -165,7 +186,7 @@ def test_sparse_prefilter_parity():
     try:
         set_config(base.with_(sparse_prefilter=False))
         eng2 = ScanEngine(compile_program(pat), backend="pallas")
-        assert eng2._prefilter_eng is None
+        assert eng2._prefilter() is None
     finally:
         set_config(base)
 
@@ -179,7 +200,7 @@ def test_alias_public_api_parity(pattern):
     orc = OracleEngine.compile(pattern)
     rng = np.random.default_rng(hash(pattern) % 2**32)
     texts = [
-        bytes(rng.choice(list(b"abcde"), int(rng.integers(0, 250))))
+        rng.choice(list(b"abcde"), int(rng.integers(0, 250))).astype(np.uint8).tobytes()
         for _ in range(13)  # odd B: exercises padding to the alias G
     ] + [b"abcde" * 120, b"", b"abc", b"de" * 200]
     assert list(p.search_batch(texts)) == [orc.search(t) for t in texts]
