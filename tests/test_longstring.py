@@ -378,7 +378,7 @@ def test_dotstar_rewrite_oracle_parity(pattern):
     texts = [
         b"", b"error", b"xerrorx", b"abc" + b"\xf0" + b"zzz",
         b"q" * 300 + b"error" + b"\xf0" + b"y" * 200 + b"error" + b"z" * 10,
-        bytes(rng.choice(list(b"abcderotxygz"), 900)),
+        bytes(rng.choice(list(b"abcderotxygz"), 900).astype(np.uint8)),
         b"a" * 45, b"cat" + b"\xf0" * 3 + b"dog" + b"z" * 5,
         b"\xf0" * 20,
     ]
@@ -428,7 +428,7 @@ def test_speculative_cyclic_validation():
             orc = OracleEngine.compile(pat)
             texts = [
                 b"ababc" * 100,
-                bytes(rng.choice(list(b"abcdogtx"), 1500)),
+                bytes(rng.choice(list(b"abcdogtx"), 1500).astype(np.uint8)),
                 b"a" + b"b" * 602 + b"c",  # long memory: must fall back
                 b"x" * 700 + b"catdogx" + b"y" * 300,
             ]
