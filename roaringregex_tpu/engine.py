@@ -230,8 +230,29 @@ class ScanEngine:
                 self._sp = sp
                 self._ptables = sp.packed_tables(prog)
         elif self.backend == "pallas" and prog.tier == "sparse":
+            from .ops import scan_bitband as sbb
+
+            bspec = sbb.bitband_spec(prog) if cfg.bitband else None
             npart = len(prog.sparse_partition[0])
-            if (
+            if bspec is not None and prog.s_pad <= cfg.sparse_lanes_max:
+                from .ops import scan_packed as sp
+
+                # band+rank-1 bit kernels: the follow structure collapses
+                # to u32 shifts on the VPU (~10x the container kernels'
+                # byte rate on the x(ab|c){400,520}y class)
+                self._sp = sp
+                self._ptables = sp.stream_tables(prog)
+                sparse_am = (
+                    np.asarray(accept_map) if accept_map is not None else None
+                )
+                self._pallas = sbb.BitbandScanner(
+                    prog,
+                    self._ptables,
+                    bspec,
+                    accept_map=sparse_am,
+                    nullable=nullable,
+                )
+            elif (
                 npart > cfg.sparse_partial_max
                 or prog.s_pad > cfg.sparse_lanes_max
             ):

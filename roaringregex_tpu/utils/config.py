@@ -91,6 +91,20 @@ class RrxConfig:
     seeded_alias: bool = field(
         default_factory=lambda: os.environ.get("RRX_ALIAS", "1") != "0"
     )
+    # bit-packed band+rank-1 sparse kernels (ops/scan_bitband.py): when a
+    # >1024-state follow matrix decomposes into <= bitband_max_diags
+    # diagonals after peeling <= bitband_max_rank1 heavy columns, the scan
+    # runs as u32 shift/AND/OR VPU ops instead of per-container MXU
+    # matmuls; RRX_BITBAND=0 restores the container kernels for A/B
+    bitband: bool = field(
+        default_factory=lambda: os.environ.get("RRX_BITBAND", "1") != "0"
+    )
+    bitband_max_diags: int = field(
+        default_factory=lambda: _env_int("RRX_BITBAND_MAX_DIAGS", 16)
+    )
+    bitband_max_rank1: int = field(
+        default_factory=lambda: _env_int("RRX_BITBAND_MAX_RANK1", 16)
+    )
     # hyperscan-style prefilter for the sparse container tier: scan a
     # tiny superset-language program first and run the container kernels
     # only on compacted candidate records (engine.relaxed_prefilter_program)

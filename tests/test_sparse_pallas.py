@@ -44,7 +44,9 @@ def test_sparse_cap_falls_back_to_xla(caplog):
 
     base = get_config()
     try:
-        set_config(base.with_(sparse_partial_max=8))
+        # bitband off: the band+rank-1 bit kernels would otherwise absorb
+        # this structure without touching the container caps
+        set_config(base.with_(sparse_partial_max=8, bitband=False))
         with caplog.at_level(
             logging.WARNING, logger="roaringregex_tpu.engine"
         ):
