@@ -475,12 +475,19 @@ class MultiPattern:
         # sparse): the first-class way to build a DistScanner or custom
         # engine over this combined automaton (no private-attr reads)
         self.accept_map = A
+        # per-pattern programs: when every pattern fits the 8-state SWAR
+        # tile, the engine runs the combined grep scan slotted (4 tiny
+        # sub-automata per u32) instead of one record per u32 lane
+        subprogs = None
+        if P <= 4 and all(n.n_states <= 8 for n in nfas):
+            subprogs = [compile_program(n) for n in nfas]
         self.engine = ScanEngine(
             prog,
             backend=backend,
             accept_map=A,
             channels_per_record=P,
             nullable=False,  # nullable channels corrected host-side
+            subprograms=subprogs,
         )
         if self.engine.device_scanner is None and not self.engine.packed:
             # unpacked XLA fallback has a single accept channel

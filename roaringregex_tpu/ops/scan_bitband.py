@@ -355,7 +355,9 @@ def _prefix_excl(x, B: int, ltri=None):
     W = x.shape[0]
     e_in = (x | (jnp.uint32(0) - x)) << 1
     if ltri is not None:
-        wf = (x != 0).astype(jnp.bfloat16)
+        # f32 keeps the (8, 128) tile of the u32 domain — a bf16 matmul
+        # here costs more in layout conversion than it saves on the MXU
+        wf = jnp.where(x != 0, 1.0, 0.0).astype(jnp.float32)
         c = jnp.dot(ltri, wf, preferred_element_type=jnp.float32)
         c_excl = jnp.where(c > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
     else:
@@ -380,7 +382,7 @@ def _suffix_excl(x, B: int, utri=None):
         a = a | (a >> s)
     e_in = a >> 1
     if utri is not None:
-        wf = (x != 0).astype(jnp.bfloat16)
+        wf = jnp.where(x != 0, 1.0, 0.0).astype(jnp.float32)
         c = jnp.dot(utri, wf, preferred_element_type=jnp.float32)
         c_excl = jnp.where(c > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
     else:
@@ -574,7 +576,7 @@ def _bitband_match_kernel_b(
     len_ref,  # [1, B]
     data_ref,  # [T_chunk // r, r, B] uint8
     tabs_ref,  # [K*W, 1] uint32
-    tri_ref,  # [W, W] bf16 strictly-lower-triangular (MXU word scan)
+    tri_ref,  # [W, W] f32 strictly-lower-triangular (MXU word scan)
     cnt_out,
     first_out,
     last_out,
@@ -710,7 +712,7 @@ def _bitband_reverse_kernel_b(
     len_ref,
     data_ref,
     tabs_ref,
-    tri_ref,  # [W, W] bf16 strictly-upper-triangular
+    tri_ref,  # [W, W] f32 strictly-upper-triangular
     hits_out,  # [T_chunk, 1, B] int8
     r_s,
     *,
@@ -786,8 +788,8 @@ class BitbandScanner(SparseScanner):
         self.btabs_r = jnp.asarray(tr)
         W = spec.W
         lt = np.tril(np.ones((W, W), np.float32), -1)
-        self.ltri = jnp.asarray(lt, jnp.bfloat16)
-        self.utri = jnp.asarray(lt.T, jnp.bfloat16)
+        self.ltri = jnp.asarray(lt, jnp.float32)
+        self.utri = jnp.asarray(lt.T, jnp.float32)
         # static accept rows: skip the [W, B] AND + OR-fold when the
         # accepting states concentrate in a few words (the typical case:
         # a handful of exit positions near the end of the chain)

@@ -94,6 +94,59 @@ class SwarSpec(NamedTuple):
     has_bos: bool  # some gate fires on the BOS step (^ patterns)
 
 
+class SwarMultiSpec(NamedTuple):
+    """Static multi-pattern plan: up to 4 patterns share one u32, one
+    8-bit sub-automaton per byte lane ("slot"). The record's byte stream
+    is replicated across its quad's four lanes; slot-restricted gate
+    masks keep the sub-automata independent (the no-leakage argument is
+    per-slot: a diagonal-d group only targets bits u >= d, while any
+    bit leaking across a slot boundary lands at u < d)."""
+
+    gates: Tuple  # deduped across slots: ((runs, bos, eos), ...)
+    gpos: Tuple[Tuple[int, int, int], ...]  # (gate_index, bit u, slot)
+    diags: Tuple[Tuple[int, Tuple[int, ...]], ...]
+    accepts: Tuple[Tuple[int, int], ...]  # (slot, accept bit)
+    has_eos: bool
+    has_bos: bool
+
+
+def swar_multi_spec(subprogs) -> Optional[SwarMultiSpec]:
+    """Merge per-pattern SWAR plans into one slotted plan, or None when
+    any pattern disqualifies (> 8 states, non-ASCII) or P > 4."""
+    if not subprogs or len(subprogs) > 4:
+        return None
+    specs = [swar_spec(p) for p in subprogs]
+    if any(s is None for s in specs):
+        return None
+    gate_ids: dict = {}
+    gates: list = []
+    gpos: list = []
+    by_delta: dict = {}
+    accepts: list = []
+    has_eos = has_bos = False
+    for k, sp in enumerate(specs):
+        gid_map = {}
+        for gi, key in enumerate(sp.gates):
+            gid = gate_ids.get(key)
+            if gid is None:
+                gid = gate_ids[key] = len(gates)
+                gates.append(key)
+            gid_map[gi] = gid
+        pi_map = {}
+        for pi, (gi, u) in enumerate(sp.gpos):
+            pi_map[pi] = len(gpos)
+            gpos.append((gid_map[gi], u, k))
+        for d, pis in sp.diags:
+            by_delta.setdefault(d, []).extend(pi_map[pi] for pi in pis)
+        accepts.extend((k, s) for s in sp.accept_bits)
+        has_eos = has_eos or sp.has_eos
+        has_bos = has_bos or sp.has_bos
+    diags = tuple((d, tuple(pis)) for d, pis in sorted(by_delta.items()))
+    return SwarMultiSpec(
+        tuple(gates), tuple(gpos), diags, tuple(accepts), has_eos, has_bos
+    )
+
+
 def _merge_runs(runs):
     out = []
     for lo, hi in sorted(runs):
@@ -239,6 +292,113 @@ def _gates_slab(d_all, am, em, bm, spec: SwarSpec):
             g = em if g is None else g | em
         raw.append(g if g is not None else jnp.zeros_like(d_all))
     return [raw[gid] >> (7 - u) for gid, u in spec.gpos]
+
+
+def _gates_slab_multi(d_all, am, em, bm, spec: SwarMultiSpec):
+    """Slot-restricted gate masks: gmask[i] has bit ``u`` of byte lane
+    ``slot`` set per u32 iff that record's byte is live and in gate
+    gid's byte set, for (gid, u, slot) = spec.gpos[i]. Identical raw
+    SWAR range compares to _gates_slab (the byte is replicated across
+    the quad's lanes), then per-slot 0x80 masking before positioning."""
+    u32 = jnp.uint32
+    dlo = d_all & u32(M7F)
+    noth = (~d_all) & u32(M80)
+    raw = []
+    for runs, bos, eos in spec.gates:
+        g = None
+        for lo, hi in runs:
+            ge = (dlo + u32(((0x80 - lo) * M1) & 0xFFFFFFFF)) & u32(M80)
+            le = (u32(((0x80 + hi) * M1) & 0xFFFFFFFF) - dlo) & u32(M80)
+            gg = ge & le
+            g = gg if g is None else g | gg
+        g = (g & noth & am) if g is not None else None
+        if bos and bm is not None:
+            g = bm if g is None else g | bm
+        if eos and em is not None:
+            g = em if g is None else g | em
+        raw.append(g if g is not None else jnp.zeros_like(d_all))
+    return [
+        (raw[gid] & u32(0x80 << (8 * slot))) >> (7 - u)
+        for gid, u, slot in spec.gpos
+    ]
+
+
+def _swar_multi_kernel(
+    len_ref,  # [4 * G8, B] int32 per-byte-lane lengths
+    data_ref,  # [T_chunk // 8, 8 * G8, B] uint32 byte slab
+    log_out,  # [T_chunk // 8, G8, B] uint32 accept bit-log (lane = slot)
+    v_s,  # scratch [G8, B] uint32 state carry (byte lane = pattern slot)
+    pf_s,  # scratch [G8, B] uint32 previous-step flags ($-dedup carry)
+    *,
+    spec: SwarMultiSpec,
+    seeded: bool,
+    T_chunk: int,
+):
+    """Forward scan with one pattern per byte lane (see SwarMultiSpec).
+    Same slab structure as _swar_kernel; only the gate construction and
+    the accept reduction are slot-aware."""
+    j = pl.program_id(1)
+    B = v_s.shape[1]
+    u32 = jnp.uint32
+    seedw = u32(M1)
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((G8, B), u32)
+        if spec.has_eos:
+            pf_s[:] = jnp.zeros((G8, B), u32)
+
+    ln64 = [
+        jnp.broadcast_to(
+            len_ref[k * G8 : (k + 1) * G8][None], (8, G8, B)
+        ).reshape(8 * G8, B)
+        for k in range(4)
+    ]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
+    # shared liveness spec fields (only has_eos / has_bos are read)
+    lm_spec = spec
+
+    def body(i, _):
+        slab = data_ref[i]
+        jr = riota + (j * T_chunk + i * 8 - 1)
+        am, em, bm, eos01 = _live_masks(jr, ln64, lm_spec)
+        gmask = _gates_slab_multi(slab, am, em, bm, spec)
+        v = v_s[:]
+        prev = pf_s[:] if spec.has_eos else None
+        logw = jnp.zeros((G8, B), u32)
+        for m in range(8):
+            tl = j * T_chunk + i * 8 + m
+            if seeded:
+                vv = v | seedw
+            else:
+                vv = jnp.where(tl < 2, v | seedw, v)
+            nxt = None
+            for d, pis in spec.diags:
+                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                for pi in pis[1:]:
+                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
+                t = sh & gm
+                nxt = t if nxt is None else nxt | t
+            v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+            fl = None
+            for (k, s) in spec.accepts:
+                t = (v >> s if s else v) & u32(1 << (8 * k))
+                fl = t if fl is None else fl | t
+            if fl is not None:
+                if spec.has_eos:
+                    emit = fl & ~(prev & eos01[m * G8 : (m + 1) * G8])
+                    prev = fl
+                else:
+                    emit = fl
+                logw = logw | (emit << m if m else emit)
+        log_out[i] = logw
+        v_s[:] = v
+        if spec.has_eos:
+            pf_s[:] = prev
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // 8, body, 0)
 
 
 def _swar_kernel(
@@ -477,9 +637,112 @@ def _swar_span_kernel(
     jax.lax.fori_loop(0, T_chunk // 8, body, 0)
 
 
+def _swar_anchor_kernel(
+    len_ref,  # [4 * G8, B] int32 per-byte-lane lengths
+    starts_ref,  # [4 * G8, B] int32 per-record match start (-1 inactive)
+    data_ref,  # [T_chunk // 8, 8 * G8, B] uint32 byte slab
+    log_out,  # [T_chunk // 8, G8, B] uint32 accept bit-log
+    v_s,  # scratch [G8, B] uint32 anchored-state carry
+    *,
+    spec: SwarSpec,
+    T_chunk: int,
+):
+    """Anchored rescan in SWAR form (the matmul _anchor_end_kernel_b's
+    automaton, bit-logged): each record's 8-bit automaton is seeded only
+    at its given start position; accepts stream out as a bit-log and the
+    XLA reduction picks the first (lazy) or last (greedy leftmost-longest,
+    the POSIX policy) end. Start gate mirrors the matmul kernel:
+    seed at step start+1, or steps <= 1 when start == 0."""
+    j = pl.program_id(1)
+    B = v_s.shape[1]
+    u32 = jnp.uint32
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((G8, B), u32)
+
+    ln64 = [
+        jnp.broadcast_to(
+            len_ref[k * G8 : (k + 1) * G8][None], (8, G8, B)
+        ).reshape(8 * G8, B)
+        for k in range(4)
+    ]
+    stk = [starts_ref[k * G8 : (k + 1) * G8] for k in range(4)]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
+
+    def body(i, _):
+        slab = data_ref[i]
+        jr = riota + (j * T_chunk + i * 8 - 1)
+        am, em, bm, _ = _live_masks(jr, ln64, spec)
+        gmask = _gates_slab(slab, am, em, bm, spec)
+        v = v_s[:]
+        logw = jnp.zeros((G8, B), u32)
+        for m in range(8):
+            tg = j * T_chunk + i * 8 + m
+            seedm = jnp.zeros((G8, B), u32)
+            for k in range(4):
+                gate = (
+                    (stk[k] == tg - 1) | ((stk[k] == 0) & (tg <= 1))
+                ) & (stk[k] >= 0)
+                g32 = gate.astype(u32)
+                seedm = seedm | (g32 << (8 * k) if k else g32)
+            vv = v | seedm
+            nxt = None
+            for d, pis in spec.diags:
+                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                for pi in pis[1:]:
+                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
+                t = sh & gm
+                nxt = t if nxt is None else nxt | t
+            v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+            fl = None
+            for s in spec.accept_bits:
+                t = v >> s if s else v
+                fl = t if fl is None else fl | t
+            if fl is not None:
+                emit = fl & u32(M1)
+                logw = logw | (emit << m if m else emit)
+        log_out[i] = logw
+        v_s[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // 8, body, 0)
+
+
 # ---------------------------------------------------------------------------
 # Bit-log reduction (XLA; one fused pass, no gathers)
 # ---------------------------------------------------------------------------
+
+
+def _anchor_ends(log, lengths, *, longest: bool):
+    """Reduce an anchored accept bit-log to the end per record: smallest
+    (lazy) or largest (greedy) e = min(step, len) with an accept; -1 when
+    none. Same ctz/msb formulation as _swar_stats."""
+    nTw, _, B_pad = log.shape
+    ln = jnp.asarray(lengths, jnp.int32).reshape(G8, B_pad, 4)
+    ln = jnp.concatenate([ln[:, :, k] for k in range(4)], axis=0)
+    w8 = (jnp.arange(nTw, dtype=jnp.int32) * 8)[:, None, None]
+    pc = jax.lax.population_count
+    outs = []
+    for k in range(4):
+        fk = (log >> (8 * k)) & jnp.uint32(0xFF)
+        nz = fk != 0
+        if longest:
+            y = fk | (fk >> 1)
+            y = y | (y >> 2)
+            y = y | (y >> 4)
+            tl = jnp.where(
+                nz, w8 + pc(y).astype(jnp.int32) - 1, -1
+            ).max(axis=0)
+            outs.append(jnp.where(tl < 0, -1, jnp.minimum(tl, ln[k * G8 : (k + 1) * G8])))
+        else:
+            ctz = pc((fk & (~fk + jnp.uint32(1))) - jnp.uint32(1))
+            tl = jnp.where(nz, w8 + ctz.astype(jnp.int32), BIG).min(axis=0)
+            outs.append(
+                jnp.where(tl >= BIG, -1, jnp.minimum(tl, ln[k * G8 : (k + 1) * G8]))
+            )
+    return jnp.concatenate(outs, axis=0)  # [4 * G8, B_pad]
 
 
 def _swar_stats(log, lengths, *, nullable: bool, seeded: bool, lead: int = 0):
@@ -568,10 +831,11 @@ def _swar_stats(log, lengths, *, nullable: bool, seeded: bool, lead: int = 0):
 
 
 class SwarScanner(PallasScanner):
-    """PallasScanner with the SWAR fast path on match_stats_b; every other
-    primitive (flags, reverse, anchored rescan, spans) inherits the
-    matmul kernels. Constructed by the engine only when swar_spec(prog)
-    qualifies (s_tile == 8, single accept channel)."""
+    """PallasScanner with SWAR fast paths on match_stats_b, reverse_hits_b,
+    lazy_spans_b, greedy_spans_b and the anchored rescan (anchor_end_b,
+    lazy + longest); forward_flags_b inherits the matmul kernels.
+    Constructed by the engine only when swar_spec(prog) qualifies
+    (s_tile == 8, single accept channel)."""
 
     def __init__(self, prog, ptables, nullable=None):
         super().__init__(prog, ptables, nullable=nullable)
@@ -832,6 +1096,213 @@ class SwarScanner(PallasScanner):
         ends = neg.at[b, kk].max(jnp.where(mask, e_val, -1))
         return starts[:, :cap], ends[:, :cap], cnt
 
+    # -- anchored rescan (lazy + greedy ends) ---------------------------
+    def _swar_anchor_pl(self, tm, lnT, stT, T_pad, B_pad, B_blk, T_chunk):
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _swar_anchor_kernel, spec=self.sspec, T_chunk=T_chunk
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                pl.BlockSpec(
+                    (4 * G8, B_blk), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (4 * G8, B_blk), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (T_chunk // 8, 8 * G8, B_blk),
+                    lambda i, j: (j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk // 8, G8, B_blk),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (T_pad // 8, G8, B_pad), jnp.uint32
+            ),
+            scratch_shapes=[pltpu.VMEM((G8, B_blk), jnp.uint32)],
+            interpret=_interpret(),
+        )(lnT, stT, tm)
+
+    def anchor_end_b(self, data, len_g, starts_g, *, longest: bool):
+        data = jnp.asarray(data)
+        B_rows0, G = len_g.shape
+        B = B_rows0 * G
+        L = data.shape[1]
+        lengths = jnp.asarray(len_g).reshape(-1).astype(jnp.int32)
+        starts = jnp.asarray(starts_g).reshape(-1).astype(jnp.int32)
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar(L, -(-B // RECS))
+        end = self._swar_anchor_call(
+            data, lengths, starts, longest, T_pad, B_pad, B_blk, T_chunk
+        )
+        return end[:B].reshape(B_rows0, G)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "longest", "T_pad", "B_pad", "B_blk", "T_chunk",
+        ),
+    )
+    def _swar_anchor_call(
+        self, data, lengths, starts, longest, T_pad, B_pad, B_blk, T_chunk
+    ):
+        R_pad = B_pad * RECS
+        if lengths.shape[0] != R_pad:
+            lengths = jnp.pad(lengths, (0, R_pad - lengths.shape[0]))
+            starts = jnp.pad(
+                starts, (0, R_pad - starts.shape[0]), constant_values=-1
+            )
+        tm = _swar_pack(data, T_pad, B_pad)
+        lnT = _len_planes(lengths, B_pad)
+        stT = _len_planes(starts, B_pad)
+        log = self._swar_anchor_pl(
+            tm, lnT, stT, T_pad, B_pad, B_blk, T_chunk
+        )
+        end = _anchor_ends(log, lengths, longest=longest)
+
+        def ext(x):  # [4 * G8, B_pad] (k-major) -> [R] external order
+            return x.reshape(4, G8, B_pad).transpose(1, 2, 0).reshape(-1)
+
+        return ext(end)
+
+    def greedy_spans_b(self, data, len_g, *, cap: int):
+        """Greedy (leftmost-longest) spans with the SWAR reverse +
+        anchored kernels inside the device-side rescan rounds (same
+        round structure as the matmul greedy_spans_b)."""
+        if self.nullable or self.prog.nullable:
+            return super().greedy_spans_b(data, len_g, cap=cap)
+        data = jnp.asarray(data)
+        B_rows0, G = len_g.shape
+        B = B_rows0 * G
+        L = data.shape[1]
+        lengths = jnp.asarray(len_g).reshape(-1).astype(jnp.int32)
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar(L, -(-B // RECS))
+        s, e, c, o = self._swar_greedy_call(
+            data, lengths, cap, T, T_pad, B_pad, B_blk, T_chunk
+        )
+        return s[:B], e[:B], c[:B], o[:B]
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "cap", "T", "T_pad", "B_pad", "B_blk", "T_chunk",
+        ),
+    )
+    def _swar_greedy_call(
+        self, data, lengths, cap, T, T_pad, B_pad, B_blk, T_chunk
+    ):
+        R_pad = B_pad * RECS
+        if lengths.shape[0] != R_pad:
+            lengths = jnp.pad(lengths, (0, R_pad - lengths.shape[0]))
+        tm = _swar_pack(data, T_pad, B_pad)
+        lnT = _len_planes(lengths, B_pad)
+        hlog = self._swar_reverse_pl(tm, lnT, T_pad, B_pad, B_blk, T_chunk)
+        # candidate-start bitmap [R_pad, L + 1]
+        nTw = hlog.shape[0]
+        ks = []
+        for k in range(4):
+            fk = (hlog >> (8 * k)) & jnp.uint32(0xFF)
+            bits = (fk[..., None] >> jnp.arange(8, dtype=jnp.uint32)) & 1
+            ks.append(bits.transpose(0, 3, 1, 2).reshape(nTw * 8, G8, B_pad))
+        h = jnp.stack(ks, axis=0)  # [4, T_pad, G8, B_pad]
+        h2 = (
+            h.transpose(2, 3, 0, 1).reshape(R_pad, nTw * 8)[:, :T] > 0
+        )
+        L1 = (T - 2) + 1
+        sbm = jnp.zeros((R_pad, L1), bool)
+        s_of_col = jnp.minimum(jnp.maximum(jnp.arange(T) - 1, 0), L1 - 1)
+        sbm = sbm.at[jnp.arange(R_pad)[:, None], s_of_col[None, :]].max(h2)
+        cols = jnp.arange(L1)[None, :]
+        neg = jnp.full((R_pad, cap + 1), -1, jnp.int32)
+
+        def cond(st):
+            k, pos, active, _, _, ki = st
+            return jnp.any(active) & (k < cap)
+
+        def body(st):
+            k, pos, active, sbuf, ebuf, ki = st
+            m = sbm & (cols >= pos[:, None]) & (cols <= lengths[:, None])
+            m = m & active[:, None]
+            has = m.any(axis=1)
+            s = jnp.where(has, jnp.argmax(m, axis=1), -1).astype(jnp.int32)
+            active = active & has
+            stT = _len_planes(s, B_pad)
+            log = self._swar_anchor_pl(
+                tm, lnT, stT, T_pad, B_pad, B_blk, T_chunk
+            )
+            eP = _anchor_ends(log, lengths, longest=True)
+            e = (
+                eP.reshape(4, G8, B_pad).transpose(1, 2, 0).reshape(-1)
+            )
+            emit = active & (e >= s)
+            kk = jnp.where(emit, ki, cap)
+            bb = jnp.arange(R_pad)
+            sbuf = sbuf.at[bb, kk].set(jnp.where(emit, s, -1))
+            ebuf = ebuf.at[bb, kk].set(jnp.where(emit, e, -1))
+            pos = jnp.where(emit, jnp.maximum(e, s + 1), pos)
+            ki = ki + emit.astype(jnp.int32)
+            active = active & emit & (pos <= lengths)
+            return k + 1, pos, active, sbuf, ebuf, ki
+
+        st = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.asarray(0, jnp.int32),
+                jnp.zeros(R_pad, jnp.int32),
+                jnp.ones(R_pad, bool),
+                neg,
+                neg,
+                jnp.zeros(R_pad, jnp.int32),
+            ),
+        )
+        _, _, active, sbuf, ebuf, ki = st
+        return sbuf[:, :cap], ebuf[:, :cap], ki, active
+
+    def _run_swar_multi(
+        self, tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk, mspec
+    ):
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _swar_multi_kernel, spec=mspec, seeded=seeded, T_chunk=T_chunk
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                pl.BlockSpec(
+                    (4 * G8, B_blk), lambda i, j: (0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (T_chunk // 8, 8 * G8, B_blk),
+                    lambda i, j: (j, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk // 8, G8, B_blk),
+                lambda i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (T_pad // 8, G8, B_pad), jnp.uint32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((G8, B_blk), jnp.uint32),
+                pltpu.VMEM((G8, B_blk), jnp.uint32),
+            ],
+            interpret=_interpret(),
+        )(lnT, tm)
+
     def _run_swar(self, tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk):
         nB, nT = B_pad // B_blk, T_pad // T_chunk
         kernel = functools.partial(
@@ -931,3 +1402,77 @@ class SwarScanner(PallasScanner):
         # seeded 'full' = some match ends at len = the max end hits len
         full_rec = (cnt_rec > 0) & (last_rec >= lengths)
         return cnt_rec, first_rec, last_rec, full_rec
+
+
+class SwarMultiScanner(PallasScanner):
+    """Multi-pattern SWAR scanner: up to 4 patterns share one u32 byte
+    lane each (SwarMultiSpec), so the combined grep scan keeps the SWAR
+    tier's density instead of dropping to one record per u32 lane (the
+    WordScanner fallback for combined automata). The record's byte
+    stream is replicated across its quad; per-slot gates keep the
+    sub-automata independent. Only match_stats_b runs slotted — flags /
+    reverse / anchored rescans inherit the combined-automaton matmul
+    kernels (PallasScanner with the engine's accept-channel map).
+
+    Reference analog: one pass over the text answering P patterns at
+    once — the multi-pattern grep the reference would need P full runs
+    for (regex.h:225-227 is single-pattern)."""
+
+    def __init__(self, prog, ptables, mspec: SwarMultiSpec, P: int,
+                 nullable=None):
+        super().__init__(prog, ptables, nullable=nullable)
+        self.mspec = mspec
+        self.P = P
+
+    _geom_swar = SwarScanner._geom_swar
+    _run_swar_multi = SwarScanner._run_swar_multi
+
+    def match_stats_b(self, data, len_g, *, seeded: bool, lead: int = 0):
+        if lead:
+            return super().match_stats_b(data, len_g, seeded=seeded, lead=lead)
+        data = jnp.asarray(data)
+        B_rows0, G = len_g.shape
+        B = B_rows0 * G
+        L = data.shape[1]
+        lengths = jnp.asarray(len_g).reshape(-1).astype(jnp.int32)
+        T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar(
+            L, -(-(B * 4) // RECS)
+        )
+        cnt, first, last, full = self._swar_multi_call(
+            data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk
+        )
+        P = self.P
+
+        def sl(x):  # [R_swar] -> [B_rows0, G*P], channel c = g*P + p
+            return (
+                x[: B * 4]
+                .reshape(B_rows0, G, 4)[:, :, :P]
+                .reshape(B_rows0, G * P)
+            )
+
+        cnt = sl(cnt)
+        return cnt, sl(first), sl(last), sl(full), cnt > 0
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk",
+        ),
+    )
+    def _swar_multi_call(
+        self, data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk
+    ):
+        dr = jnp.repeat(data, 4, axis=0)
+        lr = jnp.repeat(lengths, 4)
+        R_pad = B_pad * RECS
+        if lr.shape[0] != R_pad:
+            lr = jnp.pad(lr, (0, R_pad - lr.shape[0]))
+        tm = _swar_pack(dr, T_pad, B_pad)
+        lnT = _len_planes(lr, B_pad)
+        log = self._run_swar_multi(
+            tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk, self.mspec
+        )
+        cnt, first, last, full, _ = _swar_stats(
+            log, lr, nullable=False, seeded=seeded
+        )
+        return cnt, first, last, full

@@ -94,3 +94,52 @@ def test_lazy_vs_greedy_differ():
     m = list(p.finditer(b"aaa", longest=True))
     assert [x.span() for x in m] == [(0, 3)]
     assert p.findall(b"aaa", longest=True) == [b"aaa"]
+
+
+def test_greedy_swar_kernels_engaged():
+    """SWAR-tier patterns route greedy spans + anchored rescans through
+    the SWAR kernels (not the matmul fallback), with oracle parity."""
+    import numpy as np
+
+    from roaringregex_tpu.api import Pattern
+    from roaringregex_tpu.oracle.engine import OracleEngine
+    from roaringregex_tpu.ops.scan_swar import SwarScanner
+
+    p = Pattern("a+b?", backend="pallas")
+    sc = p.engine.device_scanner
+    assert isinstance(sc, SwarScanner)
+    # the override exists on the class (not inherited from PallasScanner)
+    assert "greedy_spans_b" in type(sc).__dict__
+    assert "anchor_end_b" in type(sc).__dict__
+    orc = OracleEngine(p.program.nfa)
+    rng = np.random.default_rng(9)
+    texts = ["aaab", "abab", "ba", "", "a" * 50 + "b"]
+    for _ in range(8):
+        ln = int(rng.integers(0, 120))
+        texts.append("".join(rng.choice(list("aab b"), size=ln)))
+    got = p.finditer_batch(texts, longest=True)
+    for t, spans in zip(texts, got):
+        assert spans == orc.findall(t, longest=True), repr(t)
+    # anchored rescan parity, lazy + longest, via engine.first_end_from
+    G = max(1, p.program.G)
+    data = np.zeros((2 * G, 16), np.uint8)
+    lens = np.zeros(2 * G, np.int32)
+    sts = np.zeros(2 * G, np.int32)
+    cases = [("aaab", 0), ("aaab", 1), ("abab", 2), ("b", 0)]
+    for i, (t, s) in enumerate(cases):
+        data[i, : len(t)] = np.frombuffer(t.encode(), np.uint8)
+        lens[i] = len(t)
+        sts[i] = s
+    sts[len(cases):] = -1
+    for longest in (False, True):
+        ends = np.asarray(
+            p.engine.first_end_from(data, lens, sts, longest=longest)
+        )
+        for i, (t, s) in enumerate(cases):
+            b = t.encode()
+            ref = (
+                orc.last_end_from(b, s) if longest
+                else orc.first_end_from(b, s)
+            )
+            ref = -1 if ref is None else ref
+            assert int(ends[i]) == ref, (t, s, longest, int(ends[i]), ref)

@@ -92,3 +92,61 @@ def test_multipattern_finditer_batch():
             orc = OracleEngine.compile(patstr)
             for b, t in enumerate(texts):
                 assert out[p][b] == list(orc.finditer(t, longest=longest))
+
+
+def test_multipattern_swar_slotted():
+    from roaringregex_tpu.api import MultiPattern
+    """Patterns that all fit the 8-state SWAR tile run the combined grep
+    scan as slotted SWAR (4 sub-automata per u32), with exact per-channel
+    stats — including nullable and $-anchored channels."""
+    import numpy as np
+
+    from roaringregex_tpu.compiler.nfa import build_nfa
+    from roaringregex_tpu.oracle.engine import OracleEngine
+    from roaringregex_tpu.ops.scan_swar import SwarMultiScanner
+
+    pats = ["cat|dog", "[0-9]{3}", "err(or)?", "ab(cd)*e"]
+    mp = MultiPattern(pats, backend="pallas")
+    assert isinstance(mp.engine.device_scanner, SwarMultiScanner)
+    rng = np.random.default_rng(5)
+    texts = ["the cat had 4215 errors", "abcdcde or err", "", "dog" * 40]
+    for _ in range(8):
+        ln = int(rng.integers(0, 180))
+        texts.append(
+            "".join(rng.choice(list("catdoger0123 abcde"), size=ln))
+        )
+    cnt = mp.count_batch(texts)
+    for p_i, pat in enumerate(pats):
+        orc = OracleEngine(build_nfa(pat))
+        for t_i, t in enumerate(texts):
+            assert int(cnt[t_i, p_i]) == len(orc.ends(t)), (pat, t_i)
+    # fewer than 4 slots + nullable + $-anchor channels
+    mp2 = MultiPattern(["a*", "x$"], backend="pallas")
+    assert isinstance(mp2.engine.device_scanner, SwarMultiScanner)
+    c2 = mp2.count_batch(["aaax", "x", "", "bxb"])
+    for p_i, pat in enumerate(["a*", "x$"]):
+        orc = OracleEngine(build_nfa(pat))
+        for t_i, t in enumerate(["aaax", "x", "", "bxb"]):
+            assert int(c2[t_i, p_i]) == len(orc.ends(t)), (pat, t)
+
+
+def test_multipattern_swar_vs_word_ab():
+    from roaringregex_tpu.api import MultiPattern
+    """RRX_SWAR=0 A/B: slotted SWAR and the combined word tier compute
+    the same channel stats."""
+    import numpy as np
+
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    pats = ["cat|dog", "ab(cd)*e"]
+    texts = ["catabcde", "abcdcdcde dog", "", "xyz" * 30]
+    mp1 = MultiPattern(pats, backend="pallas")
+    c1 = np.asarray(mp1.count_batch(texts))
+    base = get_config()
+    set_config(base.with_(swar=False))
+    try:
+        mp0 = MultiPattern(pats, backend="pallas")
+        c0 = np.asarray(mp0.count_batch(texts))
+    finally:
+        set_config(base)
+    assert (c1 == c0).all(), (c1, c0)
