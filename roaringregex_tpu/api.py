@@ -231,14 +231,12 @@ class Pattern:
         cap = _pow2(min(max(mx, 1), maxlen + 1 if maxlen else 1))
         while True:
             if longest:
-                s_buf, e_buf, cnt, over = eng._pallas.greedy_spans_b(
-                    data, len_g, cap=cap
+                s_buf, e_buf, cnt, over = eng.greedy_spans(
+                    data, lengths, cap=cap
                 )
                 need_retry = bool(np.asarray(over)[: B].any())
             else:
-                s_buf, e_buf, cnt = eng._pallas.lazy_spans_b(
-                    data, len_g, cap=cap
-                )
+                s_buf, e_buf, cnt = eng.lazy_spans(data, lengths, cap=cap)
                 need_retry = bool((np.asarray(cnt)[:B] > cap).any())
             if not need_retry or cap > maxlen:
                 break

@@ -62,6 +62,23 @@ def pack_buffer(buf: bytes, G: int) -> Tuple[np.ndarray, np.ndarray, int]:
     return data, lengths, B
 
 
+
+def _stream_sources(args):
+    """(name, binary fileobj) pairs for --stream: stdin or each FILE."""
+    import sys
+
+    if not args.files:
+        yield "(stdin)", sys.stdin.buffer
+    else:
+        for p in args.files:
+            try:
+                f = open(p, "rb")
+            except OSError as e:
+                raise SystemExit(f"rrx: {p}: {e.strerror}")
+            with f:
+                yield p, f
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="rrx", description="TPU-native POSIX-ERE grep"
@@ -227,12 +244,14 @@ def main(argv=None) -> int:
         # out-of-core streaming grep: never materializes a whole FILE —
         # fixed-shape record chunks flow host->device with `depth` in
         # flight (roaringregex_tpu/stream.py)
-        if args.only_spans or args.fullmatch or args.long \
-                or args.invert_match:
+        if args.fullmatch or args.long or args.invert_match:
             print(
-                "rrx: --stream supports line grep (-c / -n / plain)",
+                "rrx: --stream supports line grep (-c / -n / plain / -o)",
                 file=sys.stderr,
             )
+            return 2
+        if args.only_spans and multi is not None:
+            print("rrx: --stream -o takes a single pattern", file=sys.stderr)
             return 2
         from .stream import StreamScanner, iter_line_batches
 
@@ -242,21 +261,61 @@ def main(argv=None) -> int:
             print(f"rrx: {e}", file=sys.stderr)
             return 2
 
-        def sources():
-            if not args.files:
-                yield "(stdin)", sys.stdin.buffer
-            else:
-                for p in args.files:
-                    try:
-                        f = open(p, "rb")
-                    except OSError as e:
-                        raise SystemExit(f"rrx: {p}: {e.strerror}")
-                    with f:
-                        yield p, f
+        if args.only_spans:
+            # span offsets out-of-core: fixed-cap device span buffers per
+            # chunk; records overflowing the cap re-run alone at their
+            # exact span count (never silently truncate)
+            cap = 32
+            for src, f in _stream_sources(args):
+                ln_no = 0
+                try:
+                    chunks = sc.spans_stream(
+                        iter_line_batches(f), cap=cap, longest=args.greedy
+                    )
+                except ValueError as e:
+                    print(f"rrx: {e}", file=sys.stderr)
+                    return 2
+                for s_b, e_b, c_b, over, data, lengths in chunks:
+                    B = len(c_b)
+                    n_lines += B
+                    n_bytes += int(lengths.sum())
+                    for i in np.nonzero(c_b > 0)[0]:
+                        n_match += 1
+                        if counts_only:
+                            continue
+                        prefix = f"{src}:" if many_files else ""
+                        if args.line_number:
+                            prefix += f"{ln_no + int(i) + 1}:"
+                        if over[i]:
+                            # rare cap overflow: exact re-run of just
+                            # this record
+                            line = bytes(data[int(i), : lengths[int(i)]])
+                            pairs = pat.finditer_batch(
+                                [line], longest=args.greedy
+                            )[0]
+                        else:
+                            pairs = list(zip(
+                                s_b[i, : c_b[i]].tolist(),
+                                e_b[i, : c_b[i]].tolist(),
+                            ))
+                        print(
+                            prefix + " ".join(f"{s}-{e}" for s, e in pairs)
+                        )
+                    ln_no += B
+            if counts_only:
+                print(n_match)
+            if args.stats:
+                dt = time.perf_counter() - t0
+                print(
+                    f"rrx: {n_match}/{n_lines} lines, {n_bytes} bytes, "
+                    f"{dt*1e3:.1f} ms streamed spans",
+                    file=sys.stderr,
+                )
+            return 0 if n_match > 0 else 1
 
         import collections as _c
 
-        for src, f in sources():
+        for src, f in _stream_sources(args):
             ln_no = 0
             nreal_q = _c.deque()  # real-line count per chunk, FIFO with
             # the pipeline's in-order retirement (phantom pad records at

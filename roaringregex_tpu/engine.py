@@ -508,9 +508,16 @@ class ScanEngine:
                 alias, "forward_flags", data, lengths, seeded=True
             )
         if self._pallas is not None:
-            return self._pallas.forward_flags_b(
-                jnp.asarray(data), self._len_g(lengths), seeded=seeded
+            raw = lambda d, l: self._pallas.forward_flags_b(
+                d, self._len_g(l), seeded=seeded
             )
+            if self._use_prefilter(data):
+                # prefilter rejection proves no seeded accept anywhere;
+                # unseeded accepts are a subset of seeded ones
+                return self._prefilter_apply(
+                    data, lengths, raw, fills=(False,)
+                )
+            return raw(jnp.asarray(data), lengths)
         if self._ptables is not None:
             words, _ = self._words(data, lengths, kernel_layout=False)
             return self._sp.forward_flags(
@@ -632,17 +639,33 @@ class ScanEngine:
 
     def _match_stats_prefiltered(self, data, lengths):
         """Two-phase sparse scan: a tiny superset-language scan finds
-        candidate records (relaxed_prefilter_program), the container
-        kernels run on a compacted candidate batch, and results scatter
-        back — all traceable (lax.cond picks the full scan when the
-        candidate count exceeds the static compaction bucket, so the
-        result is exact either way)."""
+        candidate records (relaxed_prefilter_program), the heavy kernels
+        run on a compacted candidate batch, and results scatter back —
+        all traceable (lax.cond picks the full scan when the candidate
+        count exceeds the static compaction bucket, so the result is
+        exact either way)."""
+        return self._prefilter_apply(
+            data,
+            lengths,
+            lambda d, l: self._match_stats_raw(d, l, seeded=True),
+            fills=(0, -1, False),
+        )
+
+    def _prefilter_apply(self, data, lengths, raw_fn, *, fills, extra=()):
+        """Generic prefilter compaction: run ``raw_fn(data2, lengths2,
+        *extra2)`` on the candidate-compacted batch and scatter each
+        output back along axis 0 with the matching ``fills`` value (the
+        exact result for a record the superset scan rejects). ``extra``
+        = ((per-record array, gather fill), ...) forwarded to raw_fn.
+        Falls through to the raw call when no prefilter applies or the
+        batch is too small to compact."""
         data = jnp.asarray(data)
         lengths = jnp.asarray(lengths)
+        ex_arrays = tuple(jnp.asarray(a) for (a, _f) in extra)
         B = data.shape[0]
         bcap = min(B, max(128, -(-(B // 4) // 128) * 128))
         if bcap >= B:  # static: nothing to gain, skip the filter scan
-            return self._match_stats_raw(data, lengths, seeded=True)
+            return raw_fn(data, lengths, *ex_arrays)
         _, _, pre_any = self._alias_call(
             self._prefilter_eng, "match_stats", data, lengths, seeded=True
         )
@@ -654,18 +677,32 @@ class ScanEngine:
             valid = jnp.arange(bcap) < nhits
             d2 = jnp.take(data, idx, axis=0)
             l2 = jnp.where(valid, jnp.take(lengths, idx), 0)
-            c2, f2, a2 = self._match_stats_raw(d2, l2, seeded=True)
+            ex2 = tuple(
+                jnp.where(
+                    valid, jnp.take(a, idx), jnp.asarray(f, a.dtype)
+                )
+                for a, (_a, f) in zip(ex_arrays, extra)
+            )
+            outs = raw_fn(d2, l2, *ex2)
+            single = not isinstance(outs, tuple)
+            outs_t = (outs,) if single else outs
             # drop invalid compaction slots (they all alias record 0)
             safe = jnp.where(valid, idx, B)
-            cnt = jnp.zeros(B, c2.dtype).at[safe].set(c2, mode="drop")
-            first = jnp.full(B, -1, f2.dtype).at[safe].set(f2, mode="drop")
-            anym = jnp.zeros(B, a2.dtype).at[safe].set(a2, mode="drop")
-            return cnt, first, anym
+            res = []
+            for o, f in zip(outs_t, fills):
+                base = jnp.full((B,) + o.shape[1:], f, o.dtype)
+                res.append(base.at[safe].set(o, mode="drop"))
+            return res[0] if single else tuple(res)
 
         def full(_):
-            return self._match_stats_raw(data, lengths, seeded=True)
+            return raw_fn(data, lengths, *ex_arrays)
 
         return jax.lax.cond(nhits <= bcap, compacted, full, None)
+
+    def _use_prefilter(self, data) -> bool:
+        return (
+            jnp.asarray(data).shape[0] > 128 and self._prefilter() is not None
+        )
 
     def _match_stats_raw(self, data, lengths, *, seeded: bool):
         if self._pallas is not None:
@@ -703,9 +740,14 @@ class ScanEngine:
         if alias is not None:
             return self._alias_call(alias, "reverse_hits", data, lengths)
         if self._pallas is not None:
-            return self._pallas.reverse_hits_b(
-                jnp.asarray(data), self._len_g(lengths)
-            )
+            raw = lambda d, l: self._pallas.reverse_hits_b(d, self._len_g(l))
+            if self._use_prefilter(data):
+                # a record the superset scan rejects has no match, hence
+                # no start positions
+                return self._prefilter_apply(
+                    data, lengths, raw, fills=(0,)
+                )
+            return raw(jnp.asarray(data), lengths)
         if self._ptables is not None:
             words, _ = self._words(data, lengths, kernel_layout=False)
             return self._sp.reverse_hits(
@@ -728,12 +770,22 @@ class ScanEngine:
                 longest=False,
             )
         if self._pallas is not None and self._pallas.has_anchor:
-            len_g = self._len_g(lengths)
-            starts_g = jnp.asarray(starts).reshape(-1, self.prog.G)
-            first = self._pallas.anchor_end_b(
-                jnp.asarray(data), len_g, starts_g, longest=longest
-            )
-            return first.reshape(-1)
+            def raw(d, l, st):
+                first = self._pallas.anchor_end_b(
+                    d,
+                    self._len_g(l),
+                    jnp.asarray(st).reshape(-1, self.prog.G),
+                    longest=longest,
+                )
+                return first.reshape(-1)
+
+            if self._use_prefilter(data):
+                # no match in the record implies no anchored end either
+                return self._prefilter_apply(
+                    data, lengths, raw, fills=(-1,),
+                    extra=((starts, -1),),
+                )
+            return raw(jnp.asarray(data), lengths, starts)
         if self._ptables is not None and self.prog.tier != "sparse":
             words, len_g = self._words(data, lengths, kernel_layout=False)
             starts_g = jnp.asarray(starts).reshape(-1, self.prog.G)
@@ -752,6 +804,34 @@ class ScanEngine:
             self.tables, cls, jnp.asarray(lengths), jnp.asarray(starts),
             longest=longest,
         )
+
+    # ------------------------------------------------------------------
+    # Device-side span enumeration (delegates to the scanner kernels,
+    # prefilter-compacted on the sparse tier)
+    # ------------------------------------------------------------------
+    def lazy_spans(self, data, lengths, *, cap: int):
+        """(starts [B, cap], ends [B, cap], count [B]) — lazy spans via
+        the device scanner; requires ``device_scanner.has_anchor``."""
+        raw = lambda d, l: self._pallas.lazy_spans_b(
+            d, self._len_g(l), cap=cap
+        )
+        if self._use_prefilter(data):
+            return self._prefilter_apply(
+                data, lengths, raw, fills=(-1, -1, 0)
+            )
+        return raw(jnp.asarray(data), lengths)
+
+    def greedy_spans(self, data, lengths, *, cap: int):
+        """(starts, ends, count, overflow) — greedy (leftmost-longest)
+        spans via the device scanner."""
+        raw = lambda d, l: self._pallas.greedy_spans_b(
+            d, self._len_g(l), cap=cap
+        )
+        if self._use_prefilter(data):
+            return self._prefilter_apply(
+                data, lengths, raw, fills=(-1, -1, 0, False)
+            )
+        return raw(jnp.asarray(data), lengths)
 
     # ------------------------------------------------------------------
     # Bitmaps
@@ -798,10 +878,19 @@ class ScanEngine:
         semantics, regex.h:150-165). On the pallas backend this is fused
         into the match kernel (no [B, T] flag stream is materialized)."""
         if self._pallas is not None:
-            _, _, _, full, _ = self._pallas.match_stats_b(
-                jnp.asarray(data), self._len_g(lengths), seeded=False
-            )
-            return np.asarray(full.reshape(-1))
+            def raw(d, l):
+                _, _, _, full, _ = self._pallas.match_stats_b(
+                    d, self._len_g(l), seeded=False
+                )
+                return full.reshape(-1)
+
+            if self._use_prefilter(data):
+                # prefilter rejection (a seeded-superset fact) rules out
+                # the anchored whole-string match too
+                return np.asarray(
+                    self._prefilter_apply(data, lengths, raw, fills=(False,))
+                )
+            return np.asarray(raw(jnp.asarray(data), lengths))
         flags = self.forward_flags(data, lengths, seeded=False)
         B, T1 = flags.shape
         t = jnp.arange(T1)[None, :]

@@ -708,6 +708,71 @@ def _bitband_flags_kernel_b(
     jax.lax.fori_loop(0, T_chunk // r, body, 0)
 
 
+def _bitband_anchor_kernel_b(
+    len_ref,  # [1, B]
+    starts_ref,  # [1, B] int32 (-1 inactive)
+    data_ref,  # [T_chunk // r, r, B] uint8
+    tabs_ref,
+    tri_ref,
+    end_out,  # [1, B] int32
+    v_s,
+    end_s,
+    *,
+    spec: BitbandSpec,
+    longest: bool,
+    T_chunk: int,
+    r: int,
+    acc_static,
+):
+    """Anchored rescan: seed each record's automaton only at its given
+    start (matmul _anchor_end_kernel_b semantics: seed at step start+1,
+    or steps <= 1 when start == 0); emit the first (lazy) or last
+    (greedy leftmost-longest) accepting end, -1 when none."""
+    j = pl.program_id(1)
+    nT = pl.num_programs(1)
+    W = spec.W
+    B = v_s.shape[1]
+    lens = len_ref[:]
+    starts = starts_ref[:]
+    t = _load_tables(tabs_ref, spec, C=1, B=B, acc=acc_static is None)
+    tri = tri_ref[:] if spec.tri_gaps else None
+    seedb = t["seed"]
+
+    @pl.when(j == 0)
+    def _init():
+        v_s[:] = jnp.zeros((W, B), jnp.uint32)
+        end_s[:] = jnp.full((1, B), -1, jnp.int32)
+
+    def body(i, _):
+        slab = data_ref[i]
+        v = v_s[:]
+        for m in range(r):
+            d = slab[m : m + 1]
+            tg = j * T_chunk + i * r + m
+            gate = ((starts == tg - 1) | ((starts == 0) & (tg <= 1))) & (
+                starts >= 0
+            )  # [1, B]
+            v = jnp.where(gate, v | seedb, v)
+            y = _expand(v, t, spec, B=B, rev=False, tri=tri)
+            mw = _mask_words(d, tg, lens, t, spec, B=B)
+            v = y & mw
+            fl = _accept_flags(v, t, spec, C=1, B=B, acc_static=acc_static)
+            e = jnp.minimum(tg, lens)
+            ok = fl & (e >= starts)
+            if longest:
+                end_s[:] = jnp.where(ok, e, end_s[:])
+            else:
+                end_s[:] = jnp.where(ok & (end_s[:] < 0), e, end_s[:])
+        v_s[:] = v
+        return 0
+
+    jax.lax.fori_loop(0, T_chunk // r, body, 0)
+
+    @pl.when(j == nT - 1)
+    def _out():
+        end_out[:] = end_s[:]
+
+
 def _bitband_reverse_kernel_b(
     len_ref,
     data_ref,
@@ -801,6 +866,17 @@ class BitbandScanner(SparseScanner):
             total += len(nz)
             accs.append(tuple((int(w), int(aw[w])) for w in nz))
         self.acc_static = tuple(accs) if total <= 8 else None
+        # anchored rescans + device span rounds: per-record (C == 1),
+        # program-accept semantics, non-nullable policy handled by api
+        paw = _pack_states(np.nonzero(np.asarray(prog.accept))[0], W)
+        pnz = np.nonzero(paw)[0]
+        self._anchor_acc_static = (
+            (tuple((int(w), int(paw[w])) for w in pnz),)
+            if len(pnz) <= 8
+            else None
+        )
+        self.has_anchor = acc_np.shape[1] == 1 and not self.nullable
+        self.at = self.at1  # api guards read .at on anchored scanners
 
     @functools.partial(
         jax.jit,
@@ -914,6 +990,200 @@ class BitbandScanner(SparseScanner):
     def _reverse_call_b(self, data, lenT, L, T_pad, B_pad, B_blk, T_chunk, r):
         spec = self.bspec
         tm = _time_major(data, 1, L, T_pad, B_pad, r)
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _bitband_reverse_kernel_b, spec=spec, T_chunk=T_chunk, r=r
+        )
+        gspec = pl.BlockSpec(
+            (1, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r, B_blk),
+            lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                dspec,
+                _full_spec(tuple(self.btabs_r.shape)),
+                _full_spec((spec.W, spec.W)),
+            ],
+            out_specs=pl.BlockSpec(
+                (T_chunk, 1, B_blk),
+                lambda i, j, nT=nT: (nT - 1 - j, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T_pad, 1, B_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((spec.W, B_blk), jnp.uint32)],
+            interpret=_interpret(),
+        )(lenT, tm, self.btabs_r, self.utri)
+
+    # -- anchored rescan + device-side span rounds ----------------------
+    # has_anchor is set per-instance in __init__: True for single-channel
+    # non-nullable programs, enabling the O(1)-dispatch finditer path
+    # (api._finditer_device) that the container scanner never had.
+
+    def anchor_end_b(self, data, len_g, starts_g, *, longest: bool):
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows)
+        lenT = self._lenT(len_g, B_pad)
+        startsT = jnp.pad(
+            jnp.transpose(jnp.asarray(starts_g), (1, 0)),
+            ((0, 0), (0, B_pad - B_rows)),
+            constant_values=-1,
+        )
+        end = self._bb_anchor_call(
+            data, lenT, startsT, longest, L, T_pad, B_pad, B_blk, T_chunk, r
+        )
+        return jnp.transpose(end[:, :B_rows], (1, 0))
+
+    def _bb_anchor_pl(
+        self, tm, lenT, startsT, longest, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        spec = self.bspec
+        nB, nT = B_pad // B_blk, T_pad // T_chunk
+        kernel = functools.partial(
+            _bitband_anchor_kernel_b,
+            spec=spec,
+            longest=longest,
+            T_chunk=T_chunk,
+            r=r,
+            acc_static=self._anchor_acc_static,
+        )
+        gspec = pl.BlockSpec(
+            (1, B_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        )
+        dspec = pl.BlockSpec(
+            (T_chunk // r, r, B_blk), lambda i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nB, nT),
+            in_specs=[
+                gspec,
+                gspec,
+                dspec,
+                _full_spec(tuple(self.btabs_f.shape)),
+                _full_spec((spec.W, spec.W)),
+            ],
+            out_specs=gspec,
+            out_shape=jax.ShapeDtypeStruct((1, B_pad), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((spec.W, B_blk), jnp.uint32),
+                pltpu.VMEM((1, B_blk), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )(lenT, startsT, tm, self.btabs_f, self.ltri)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "longest", "L", "T_pad", "B_pad", "B_blk", "T_chunk", "r"
+        ),
+    )
+    def _bb_anchor_call(
+        self, data, lenT, startsT, longest, L, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        tm = _time_major(data, 1, L, T_pad, B_pad, r)
+        return self._bb_anchor_pl(
+            tm, lenT, startsT, longest, T_pad, B_pad, B_blk, T_chunk, r
+        )
+
+    def lazy_spans_b(self, data, len_g, *, cap: int):
+        s, e, c, _ = self._bb_spans(data, len_g, cap, longest=False)
+        return s, e, c
+
+    def greedy_spans_b(self, data, len_g, *, cap: int):
+        return self._bb_spans(data, len_g, cap, longest=True)
+
+    def _bb_spans(self, data, len_g, cap, *, longest: bool):
+        """Span rounds on device (reverse pass -> while_loop of anchored
+        rescans, the scan_packed.spans_rounds structure with the bit
+        kernels). Non-nullable only (has_anchor gates the callers)."""
+        assert not self.nullable
+        data = jnp.asarray(data)
+        B_rows = len_g.shape[0]
+        L = data.shape[1]
+        T, T_pad, B_pad, B_blk, T_chunk, r = self._geom_b(L, B_rows)
+        lenT = self._lenT(len_g, B_pad)
+        return self._bb_spans_call(
+            data, lenT, cap, longest, L, T, T_pad, B_pad, B_blk, T_chunk, r
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self", "cap", "longest", "L", "T", "T_pad", "B_pad", "B_blk",
+            "T_chunk", "r",
+        ),
+    )
+    def _bb_spans_call(
+        self, data, lenT, cap, longest, L, T, T_pad, B_pad, B_blk, T_chunk, r
+    ):
+        Bn = data.shape[0]
+        tm = _time_major(data, 1, L, T_pad, B_pad, r)
+        hits = self._bb_reverse_pl(tm, lenT, T_pad, B_pad, B_blk, T_chunk, r)
+        h2 = jnp.transpose(hits[:T, 0, :Bn], (1, 0)) > 0  # [Bn, T]
+        lens = lenT[0, :Bn]
+        sbm = jnp.zeros((Bn, L + 1), bool)
+        s_of_col = jnp.minimum(jnp.maximum(jnp.arange(T) - 1, 0), L)
+        sbm = sbm.at[jnp.arange(Bn)[:, None], s_of_col[None, :]].max(h2)
+        cols = jnp.arange(L + 1)[None, :]
+        neg = jnp.full((Bn, cap + 1), -1, jnp.int32)
+
+        def cond(st):
+            k, pos, active, _, _, ki = st
+            return jnp.any(active) & (k < cap)
+
+        def body(st):
+            k, pos, active, sbuf, ebuf, ki = st
+            m = sbm & (cols >= pos[:, None]) & (cols <= lens[:, None])
+            m = m & active[:, None]
+            has = m.any(axis=1)
+            s = jnp.where(has, jnp.argmax(m, axis=1), -1).astype(jnp.int32)
+            active = active & has
+            sT = jnp.pad(
+                s[None, :], ((0, 0), (0, B_pad - Bn)), constant_values=-1
+            )
+            e = self._bb_anchor_pl(
+                tm, lenT, sT, longest, T_pad, B_pad, B_blk, T_chunk, r
+            )
+            e = e[0, :Bn]
+            emit = active & (e >= s)
+            kk = jnp.where(emit, ki, cap)
+            bb = jnp.arange(Bn)
+            sbuf = sbuf.at[bb, kk].set(jnp.where(emit, s, -1))
+            ebuf = ebuf.at[bb, kk].set(jnp.where(emit, e, -1))
+            pos = jnp.where(emit, jnp.maximum(e, s + 1), pos)
+            ki = ki + emit.astype(jnp.int32)
+            active = active & emit & (pos <= lens)
+            return k + 1, pos, active, sbuf, ebuf, ki
+
+        st = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.asarray(0, jnp.int32),
+                jnp.zeros(Bn, jnp.int32),
+                jnp.ones(Bn, bool),
+                neg,
+                neg,
+                jnp.zeros(Bn, jnp.int32),
+            ),
+        )
+        _, _, active, sbuf, ebuf, ki = st
+        return sbuf[:, :cap], ebuf[:, :cap], ki, active
+
+    def _bb_reverse_pl(self, tm, lenT, T_pad, B_pad, B_blk, T_chunk, r):
+        """Reverse pallas_call from an already-built time-major array
+        (shared by the span rounds; _reverse_call_b wraps it)."""
+        spec = self.bspec
         nB, nT = B_pad // B_blk, T_pad // T_chunk
         kernel = functools.partial(
             _bitband_reverse_kernel_b, spec=spec, T_chunk=T_chunk, r=r

@@ -227,6 +227,108 @@ class DistScanner:
         return _stats(self.tables, data, lengths)
 
     # ------------------------------------------------------------------
+    # Sharded out-of-core streaming (BASELINE config 5's 10 GB story:
+    # the corpus streams host->devices sharded over the data axis with
+    # depth-K chunks in flight, tables replicated once, per-chunk psum'd
+    # scalars accumulated on device and gathered once at stream end)
+    # ------------------------------------------------------------------
+    def _stream_stats_fn(self):
+        fn = getattr(self, "_stream_fn", None)
+        if fn is None:
+
+            @jax.jit
+            @functools.partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(P(), self._spec_in, self._spec_v),
+                out_specs=P(),
+                check_vma=False,
+            )
+            def _stats(tables, d, l):
+                cnt, _, anym = self._local_stats(tables, d, l, True)
+                return jnp.stack([
+                    jax.lax.psum(jnp.sum(cnt, dtype=jnp.int32), self.axis),
+                    jax.lax.psum(
+                        jnp.sum(anym.astype(jnp.int32)), self.axis
+                    ),
+                    jax.lax.psum(jnp.sum(l, dtype=jnp.int32), self.axis),
+                ])
+
+            fn = self._stream_fn = functools.partial(_stats, self.tables)
+        return fn
+
+    def stats_stream(self, batches, *, depth: int = 3):
+        """Streamed grep -c over the WHOLE mesh: each chunk is uploaded
+        sharded over the data axis (per-device bytes ~= chunk/D), scanned
+        under shard_map with psum'd scalars, with up to ``depth`` chunks
+        in flight — the mesh analog of stream.StreamScanner.stats_stream.
+        Accepts (data, lengths) or (data, lengths, n_real) batches; rows
+        are padded to a multiple of D * G with zero-length phantoms.
+        Single-accept-channel engines only (P == 1)."""
+        import collections
+
+        from ..stream import StreamStats
+
+        assert self.P == 1, "sharded streaming is single-channel"
+        ad = self._alias_dist()
+        if ad is not None:
+            return ad.stats_stream(batches, depth=depth)
+        fn = self._stream_stats_fn()
+        D = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        G = max(1, self.prog.G)
+        q = D * G
+        shard_d = NamedSharding(self.mesh, P(self.axis, None))
+        shard_l = NamedSharding(self.mesh, P(self.axis))
+        outs = []
+        live = collections.deque()
+        n_real = 0
+        n_pad = 0
+        self.last_stream_shard_rows = None
+        for batch in batches:
+            if len(batch) == 3:
+                data, lengths, nr = batch
+            else:
+                data, lengths = batch
+                nr = int(np.asarray(data).shape[0])
+            data = np.asarray(data)
+            lengths = np.asarray(lengths, np.int32)
+            B = data.shape[0]
+            Bp = -(-B // q) * q
+            if Bp != B:
+                data = np.concatenate(
+                    [data, np.zeros((Bp - B, data.shape[1]), np.uint8)]
+                )
+                lengths = np.concatenate(
+                    [lengths, np.zeros(Bp - B, np.int32)]
+                )
+            d = jax.device_put(jnp.asarray(data), shard_d)
+            l = jax.device_put(jnp.asarray(lengths), shard_l)
+            # per-device placement really is chunk/D rows (asserted by
+            # dryrun_multichip on the virtual mesh)
+            self.last_stream_shard_rows = Bp // D
+            out = fn(d, l)
+            outs.append(out)
+            live.append(out)
+            n_real += int(nr)
+            n_pad += Bp - int(nr)
+            if len(live) >= max(1, depth):
+                jax.block_until_ready(live.popleft())
+        if live:
+            jax.block_until_ready(list(live))
+        if not outs:
+            return StreamStats(0, 0, 0, 0, 0)
+        packed = np.asarray(jnp.stack(outs))  # [chunks, 3], one gather
+        total, nrec, nbytes = packed.sum(axis=0, dtype=np.int64)
+        if self._nullable:
+            # kernels count each phantom pad row as 1 empty match + 1
+            # matched record (same correction as StreamScanner)
+            total -= n_pad
+            nrec -= n_pad
+        return StreamStats(
+            int(total), int(nrec), n_real, int(nbytes), len(outs)
+        )
+
+    # ------------------------------------------------------------------
     def per_record(
         self, data: jax.Array, lengths: jax.Array, *, seeded: bool = True
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:

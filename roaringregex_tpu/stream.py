@@ -275,6 +275,68 @@ class StreamScanner:
         total = int(cnt_pc.sum())
         return StreamStats(total, nrec, n_real, nbytes, len(outs))
 
+    def spans_stream(
+        self, batches, *, cap: int = 32, longest: bool = False
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield per-chunk ``(starts [B, cap], ends [B, cap], count [B],
+        overflow [B], lengths [B])`` — span extraction out-of-core (the
+        CLI ``--stream -o`` path; the reference's only match output is a
+        span, regex.h:100-105).
+
+        Spans are enumerated on device per chunk into fixed ``cap``-slot
+        buffers; ``count`` is the exact total per record, so
+        ``overflow[i] = count[i] > cap`` tells the caller which records
+        were truncated (the yielded ``data`` row re-runs them exactly).
+        Single-pattern engines whose device scanner supports anchored
+        span extraction only; nullable patterns raise (their lazy span
+        set is the closed-form empty match at every position).
+        Yields ``(starts, ends, count, overflow, data, lengths)``."""
+        import jax
+        import jax.numpy as jnp
+
+        eng = self.engine
+        if self.P != 1:
+            raise ValueError("spans_stream is single-pattern")
+        if self._nullables.any():
+            raise ValueError(
+                "spans_stream on a nullable pattern: the span set is the "
+                "closed-form empty match at every position"
+            )
+        sc = eng.device_scanner
+        if sc is None or not getattr(sc, "has_anchor", False):
+            raise ValueError(
+                "spans_stream needs a device scanner with anchored span "
+                "kernels (pallas backend, dense tiers or decomposable "
+                "sparse structure)"
+            )
+
+        def run(d, l):
+            if longest:
+                s, e, c, _ = eng.greedy_spans(d, l, cap=cap)
+            else:
+                s, e, c = eng.lazy_spans(d, l, cap=cap)
+            return s, e, c
+
+        fn = self._jits.get(("spans", cap, longest))
+        if fn is None:
+            fn = self._jits[("spans", cap, longest)] = jax.jit(run)
+        inflight = collections.deque()
+
+        def emit(item):
+            (s, e, c), dd, ln = item
+            s, e, c = np.asarray(s), np.asarray(e), np.asarray(c)
+            return s, e, c, c > cap, dd, ln
+
+        for batch in batches:
+            data, lengths, _ = self._norm_batch(batch)
+            d = jax.device_put(jnp.asarray(data))
+            l = jax.device_put(jnp.asarray(np.asarray(lengths, np.int32)))
+            inflight.append((fn(d, l), data, np.asarray(lengths)))
+            if len(inflight) >= self.depth:
+                yield emit(inflight.popleft())
+        while inflight:
+            yield emit(inflight.popleft())
+
     def hits_stream(
         self, batches, *, defer: bool = False
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

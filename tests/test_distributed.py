@@ -262,3 +262,34 @@ def test_long_stats_sharded_wide_tile(mesh):
         want = len(orc.ends(t))
         assert ds.long_stats(t, mode="count") == want, pat
         assert ds.long_stats(t, mode="any") == (want > 0), pat
+
+
+def test_stats_stream_sharded(mesh):
+    """DistScanner.stats_stream: chunked sharded streaming == the summed
+    per-chunk global_stats; per-device placement is chunk/D rows."""
+    from roaringregex_tpu.stream import StreamScanner
+
+    prog = compile_program("cat|dog")
+    ds = DistScanner(prog, mesh)
+    rng = np.random.default_rng(3)
+    chunks = []
+    for _ in range(4):
+        B, L = 24, 64  # deliberately not a multiple of 8 * G
+        data = rng.integers(97, 123, size=(B, L), dtype=np.uint8)
+        data[0, :3] = np.frombuffer(b"cat", np.uint8)
+        lens = np.full(B, L, np.int32)
+        chunks.append((data, lens))
+    st = ds.stats_stream(iter(chunks), depth=2)
+    assert st.chunks == 4
+    assert st.records == 4 * 24
+    assert st.bytes == sum(int(l.sum()) for _, l in chunks)
+    # per-device rows = padded chunk rows / D
+    G = max(1, prog.G)
+    q = 8 * G
+    Bp = -(-24 // q) * q
+    assert ds.last_stream_shard_rows == Bp // 8
+    # parity: single-device StreamScanner over the same chunks
+    st1 = StreamScanner("cat|dog").stats_stream(iter(chunks))
+    assert (st.matches, st.matched_records) == (
+        st1.matches, st1.matched_records
+    )

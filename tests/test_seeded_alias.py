@@ -216,3 +216,60 @@ def test_alias_public_api_parity(pattern):
     assert list(p.fullmatch_batch(texts)) == [
         orc.fullmatch(t) for t in texts
     ]
+
+
+def test_prefilter_wired_into_all_primitives():
+    """Round-5 task: the prefilter compaction covers reverse_hits,
+    forward_flags, fullmatch_flags, first_end_from and the span
+    enumeration — not just match_stats. Exactness on a hit-light large
+    batch (compacted branch) vs the oracle, plus spans via finditer."""
+    from roaringregex_tpu.api import Pattern
+
+    pat = "x(ab|c){400,520}y"
+    hit = b"x" + b"ab" * 200 + b"c" * 210 + b"y"
+    p = Pattern(pat, backend="pallas")
+    eng = p.engine
+    assert eng._prefilter() is not None
+    orc = OracleEngine.compile(pat)
+    rng = np.random.default_rng(31)
+    B, L = 256, 1024
+    data = np.zeros((B, L), np.uint8)
+    lens = np.zeros(B, np.int32)
+    rows = []
+    for i in range(B):
+        t = rng.choice(list(b"abcxyz"), int(rng.integers(0, 900))).astype(
+            np.uint8
+        ).tobytes()
+        if i in (3, 77, 200):
+            t = b"qq" + hit + b"zz"
+        rows.append(t)
+        data[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lens[i] = len(t)
+    # reverse_hits through the prefilter
+    hits = np.asarray(eng.reverse_hits(data, lens))
+    for i in (3, 77, 200, 0, 100):
+        t = rows[i]
+        starts = {
+            max(j - 1, 0)
+            for j in np.nonzero(hits[i])[0]
+            if j - 1 <= len(t)
+        }
+        want = {s for (s, _e) in orc.findall(t)}
+        assert starts == want, (i, starts, want)
+    # fullmatch
+    fm = np.asarray(eng.fullmatch_flags(data, lens))
+    for i in (3, 77, 0):
+        assert bool(fm[i]) == orc.fullmatch(rows[i]), i
+    assert bool(
+        np.asarray(eng.fullmatch_flags(
+            np.frombuffer(hit, np.uint8)[None, :].repeat(256, 0).copy(),
+            np.full(256, len(hit), np.int32),
+        ))[0]
+    ) == orc.fullmatch(hit)
+    # spans (lazy + greedy) through engine.lazy_spans/greedy_spans
+    got = p.finditer_batch([rows[3], rows[0], rows[77]])
+    for t, g in zip([rows[3], rows[0], rows[77]], got):
+        assert g == orc.findall(t), len(t)
+    gotg = p.finditer_batch([rows[3], rows[0]], longest=True)
+    for t, g in zip([rows[3], rows[0]], gotg):
+        assert g == orc.findall(t, longest=True), len(t)

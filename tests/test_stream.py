@@ -235,3 +235,66 @@ def test_pack_records_truncates():
     data, lens = pack_records([b"abc", b"x" * 50], 4, 16)
     assert lens.tolist() == [3, 16, 0, 0]
     assert bytes(data[1, :16]) == b"x" * 16
+
+
+def test_spans_stream_parity():
+    """spans_stream: per-chunk device span extraction == finditer_batch,
+    overflow flagged exactly (never silently truncated)."""
+    rng = np.random.default_rng(11)
+    chunks = _chunks(rng, 3, 32, 96)
+    sc = StreamScanner("cat|dog", depth=2, backend="pallas")
+    from roaringregex_tpu.api import Pattern
+
+    p = Pattern("cat|dog")
+    for s_b, e_b, c_b, over, data, lens in sc.spans_stream(
+        iter(chunks), cap=8
+    ):
+        texts = [bytes(data[i, : lens[i]]) for i in range(len(lens))]
+        want = p.finditer_batch(texts)
+        for i, w in enumerate(want):
+            if over[i]:
+                assert int(c_b[i]) == len(w)
+                continue
+            got = list(zip(s_b[i, : c_b[i]].tolist(), e_b[i, : c_b[i]].tolist()))
+            assert got == w, i
+    # greedy policy
+    for s_b, e_b, c_b, over, data, lens in sc.spans_stream(
+        iter(chunks[:1]), cap=8, longest=True
+    ):
+        texts = [bytes(data[i, : lens[i]]) for i in range(len(lens))]
+        want = p.finditer_batch(texts, longest=True)
+        for i, w in enumerate(want):
+            if not over[i]:
+                got = list(
+                    zip(s_b[i, : c_b[i]].tolist(), e_b[i, : c_b[i]].tolist())
+                )
+                assert got == w, i
+    # tiny cap: overflow counters fire, counts stay exact
+    n_over = 0
+    for s_b, e_b, c_b, over, data, lens in sc.spans_stream(
+        iter(chunks), cap=1
+    ):
+        texts = [bytes(data[i, : lens[i]]) for i in range(len(lens))]
+        want = p.finditer_batch(texts)
+        for i, w in enumerate(want):
+            assert int(c_b[i]) == len(w)
+            n_over += bool(over[i])
+    assert n_over > 0
+    # nullable patterns raise cleanly
+    with pytest.raises(ValueError):
+        list(
+            StreamScanner("a*", backend="pallas").spans_stream(
+                iter(chunks[:1])
+            )
+        )
+
+
+def test_cli_stream_spans(tmp_path, capsys):
+    from roaringregex_tpu.cli import main
+
+    f = tmp_path / "t.txt"
+    f.write_bytes(b"the cat sat\nno match\ndog dog\n")
+    rc = main(["cat|dog", str(f), "--stream", "-o", "--backend", "pallas"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert out == ["4-7", "0-3 4-7"]
