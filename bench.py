@@ -36,15 +36,16 @@ def log(*a):
 
 
 def make_corpus(total_bytes: int, rec_len: int, seed: int = 0,
-                plant=(b"cat", b"dog")):
+                plant=(b"cat", b"dog"), plant_frac: float = 0.125):
     """Synthetic ASCII corpus: lowercase records with match-bearing
-    substrings planted so every config exercises real match paths."""
+    substrings planted so every config exercises real match paths.
+    ``plant_frac`` sets the planted-hit record density (per plant word)."""
     rng = np.random.default_rng(seed)
     B = max(1, total_bytes // rec_len)
     data = rng.integers(ord("a"), ord("z") + 1, size=(B, rec_len), dtype=np.uint8)
     for word in plant:
         w = np.frombuffer(word, dtype=np.uint8)
-        rows = rng.integers(0, B, size=max(1, B // 8))
+        rows = rng.integers(0, B, size=max(1, int(B * plant_frac)))
         cols = rng.integers(0, max(rec_len - len(w), 1), size=rows.size)
         for r, c in zip(rows, cols):
             data[r, c : c + len(w)] = w
@@ -277,6 +278,7 @@ def bench_scan(pattern: str, data, lengths, *, iters: int = 10,
                          iters=iters)
         if jax.default_backend() == "tpu":
             bps = _prefer_device_rate(run, d, l, nbytes, bps)
+    LAST_INFO["first_compile_s"] = round(compile_s, 2)
     return bps, int(total)
 
 
@@ -565,6 +567,13 @@ def bench_stream(pattern: str, *, total_bytes: int, rec_len: int = 1024):
     st = sc.stats_stream(chunks())
     dt = time.perf_counter() - t0
     bps = st.bytes / dt
+    # device-side scan rate of the SAME per-chunk program on resident
+    # data: the number behind "on a PCIe host this pipeline is
+    # scan-bound" (end-to-end = min(wire, this))
+    scan_bps = _device_sustained(
+        lambda dd, ll: fn(dd, ll).sum(), jax.device_put(pool[0]),
+        jax.device_put(lens), nbytes_chunk,
+    )
     LAST_INFO.clear()
     LAST_INFO.update(dict(
         rate=bps, single_batch_ms=round(dt * 1e3 / max(st.chunks, 1), 2),
@@ -572,6 +581,7 @@ def bench_stream(pattern: str, *, total_bytes: int, rec_len: int = 1024):
         retries=0, anomalous=False,
         upload_ceiling_gbps=round(up_bps / 1e9, 3),
         overlap_efficiency=round(bps / up_bps, 3),
+        scan_gbps_resident=round(scan_bps / 1e9, 3),
     ))
     log(f"  [stream] {st.bytes/1e9:.2f} GB in {dt:.1f}s end-to-end "
         f"({bps/1e9:.2f} GB/s; {st.matches} matches; "
@@ -701,6 +711,24 @@ def main():
             continue
         results[ci] = bps
         infos[ci] = dict(LAST_INFO)
+        if (
+            ci == 10
+            and jax.default_backend() == "tpu"
+            and os.environ.get("RRX_SPARSE_PREFILTER", "1") != "0"
+        ):
+            # hit-density sweep: the prefilter's leverage scales with hit
+            # sparsity (VERDICT r4 #2 asked for the curve, not one point)
+            sweep = {"0.125": round(bps / 1e9, 3)}
+            for frac in (0.01, 0.001):
+                d2, l2 = make_corpus(
+                    total_bytes, cfg["rec_len"] or 1024, seed=5,
+                    plant=cfg.get("plant"), plant_frac=frac,
+                )
+                b2, _ = bench_scan(cfg["pattern"], d2, l2, iters=6,
+                                   make=None)
+                sweep[str(frac)] = round(b2 / 1e9, 3)
+            infos[ci]["density_sweep_gbps"] = sweep
+            log(f"config 10 density sweep: {sweep}")
         sc = infos[ci]
         log(f"config {ci} ({cfg['name']}): {bps/1e9:.3f} GB/s "
             f"(single-batch {sc.get('single_batch_ms', '?')} ms, "

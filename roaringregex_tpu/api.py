@@ -312,13 +312,13 @@ class Pattern:
         """Non-overlapping spans over ONE long string, same policies as
         finditer_batch (lazy leftmost-shortest / greedy leftmost-longest).
 
-        Bounded-horizon (acyclic) patterns only: every match fits in
-        ``horizon`` bytes, so candidate starts come from one overlapped
-        reverse pass (FastLongScanner.starts_bitmap) and match ends from
-        batched anchored rescans over tiny per-candidate slices — the
-        sequential non-overlap sweep runs host-side over candidates, not
-        bytes. Cyclic patterns raise ValueError (count/search still work
-        in summary mode).
+        Bounded-horizon (acyclic) patterns: candidate starts come from
+        one overlapped reverse pass (FastLongScanner.starts_bitmap) and
+        match ends from batched anchored rescans over tiny per-candidate
+        slices — the sequential non-overlap sweep runs host-side over
+        candidates, not bytes. Cyclic (unbounded-match-length) patterns
+        take `_finditer_long_cyclic`: starts via the REVERSED program's
+        long ends scan, ends via doubling-window rescans.
         """
         data = _as_bytes(text)
         n = len(data)
@@ -338,11 +338,11 @@ class Pattern:
             # finite horizon exists for the generic candidate path
             return sc.spans(data, longest=longest)
         if lam is None or getattr(sc, "overlap", None) is None:
-            raise ValueError(
-                "finditer_long needs a bounded-horizon (acyclic) pattern; "
-                f"{self.pattern!r} has unbounded match length — use "
-                "pat.long.count_ends / search, or split the input into "
-                "records"
+            # cyclic (unbounded-match-length) patterns: candidate starts
+            # come from the REVERSED program's long ends scan, ends from
+            # doubling-window anchored rescans
+            return self._finditer_long_cyclic(
+                data, n, longest=longest, chunk=chunk
             )
         nullable = self.program.nullable
         if nullable and not longest:
@@ -389,6 +389,132 @@ class Pattern:
                 if s < cursor or e < 0:
                     continue
                 spans.append((s, e))
+                cursor = e if e > s else s + 1
+                if cursor > n:
+                    break
+            if cursor > n:
+                break
+        return spans
+
+    @property
+    def rev_long(self):
+        """Long scanner over the REVERSED program (compiler.parser.
+        reverse_node): its seeded end positions in reversed text are this
+        pattern's start positions — the two-pass forward/backward span
+        scheme the reference scaffolded but never wired (regex.h:144-146,
+        NFA.cc:52-53), working for ANY pattern including cyclic ones."""
+        if getattr(self, "_rev_long", None) is None:
+            from .compiler.nfa import build_nfa_ast
+            from .compiler.parser import parse, reverse_node
+            from .compiler.program import compile_program
+            from .ops.longstring import make_long_scanner
+            from .utils.config import get_config
+
+            ast = reverse_node(parse(self.pattern))
+            nfa = build_nfa_ast(ast, f"<rev:{self.pattern}>")
+            self._rev_long = make_long_scanner(
+                compile_program(nfa), block=get_config().long_block
+            )
+        return self._rev_long
+
+    def _finditer_long_cyclic(
+        self, data: bytes, n: int, *, longest: bool, chunk: int
+    ) -> List[Tuple[int, int]]:
+        """finditer_long past the bounded-horizon wall (round-5 task):
+
+        1. candidate starts = the reversed program's ends over the
+           reversed text (exact for any pattern; a match of P starts at
+           s iff a match of rev(P) ends at n - s in rev(text));
+        2. lazy ends: batched anchored rescans over per-candidate slices
+           whose window doubles until the (guaranteed) first end lands
+           inside — total work ~ sum of match lengths;
+        3. greedy ends: per-claim full-tail rescans (the last accepting
+           end can sit anywhere up to EOS, and claims are sequential by
+           the non-overlap policy) — work ~ sum of claimed match lengths.
+        """
+        nullable = self.program.nullable
+        if nullable and not longest:
+            return [(p, p) for p in range(n + 1)]
+        rends = np.asarray(self.rev_long.ends_bitmap(data[::-1]))
+        starts_bm = rends[::-1]  # rev end at n - s <-> start at s
+        cand = np.nonzero(starts_bm)[0]
+        if cand.size == 0:
+            return []
+        arr = np.frombuffer(data, np.uint8)
+        G = self.program.G
+        spans: List[Tuple[int, int]] = []
+        cursor = 0
+
+        def anchored_ends(cc: np.ndarray, w: int) -> np.ndarray:
+            """Anchored ends for starts ``cc`` over [start-1, start+w)
+            slices (one byte of left context; window clipped at EOS).
+            The slice width buckets to a power of two so the jit cache
+            sees O(log n) shapes, not one per claim."""
+            g0 = np.maximum(cc.astype(np.int64) - 1, 0)
+            L_rec = _pow2(min(w + 1, n + 2), lo=16)
+            idx = g0[:, None] + np.arange(L_rec)[None, :]
+            sl = np.where(idx < n, arr[np.minimum(idx, n - 1)], 0).astype(
+                np.uint8
+            )
+            lens = np.minimum(L_rec, n - g0).astype(np.int32)
+            starts_loc = (cc - g0).astype(np.int32)
+            K = len(cc)
+            Kp = -(-K // G) * G
+            if Kp != K:
+                sl = np.pad(sl, ((0, Kp - K), (0, 0)))
+                lens = np.pad(lens, (0, Kp - K))
+                starts_loc = np.pad(
+                    starts_loc, (0, Kp - K), constant_values=-1
+                )
+            e_loc = np.asarray(
+                self.engine.first_end_from(
+                    sl, lens, starts_loc, longest=longest
+                )
+            )[:K]
+            return np.where(e_loc >= 0, g0 + e_loc, -1)
+
+        if longest:
+            # sequential claims; each claim scans its full tail once
+            ci = 0
+            while ci < cand.size and cursor <= n:
+                while ci < cand.size and cand[ci] < cursor:
+                    ci += 1
+                if ci >= cand.size:
+                    break
+                s = int(cand[ci])
+                e = int(anchored_ends(np.asarray([s]), n - s + 1)[0])
+                if nullable:
+                    e = max(e, s)
+                assert e >= s, (self.pattern, s, e)
+                spans.append((s, e))
+                cursor = e if e > s else s + 1
+                ci += 1
+            return spans
+
+        # lazy: batched per-candidate ends with doubling windows,
+        # processed in ``chunk``-sized candidate blocks (bounds the
+        # [K, w] slice memory)
+        for c0 in range(0, cand.size, chunk):
+            cc = cand[c0 : c0 + chunk]
+            if cc[-1] < cursor:
+                continue
+            ends = np.full(cc.size, -1, np.int64)
+            unresolved = np.arange(cc.size)
+            w = 256
+            while unresolved.size:
+                got = anchored_ends(cc[unresolved], min(w, n + 1))
+                ends[unresolved] = got
+                if w > n:
+                    # candidates are exact match starts; a miss at full
+                    # length would mean the reverse scan lied
+                    assert (got >= 0).all(), self.pattern
+                    break
+                unresolved = unresolved[got < 0]
+                w *= 2
+            for s, e in zip(cc.tolist(), ends.tolist()):
+                if s < cursor or e < 0:
+                    continue
+                spans.append((int(s), int(e)))
                 cursor = e if e > s else s + 1
                 if cursor > n:
                     break

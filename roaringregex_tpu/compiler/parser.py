@@ -284,3 +284,28 @@ def _byte(ch: str) -> int:
 def parse(pattern: str) -> Node:
     """Parse a POSIX-ERE pattern into an AST."""
     return _Parser(pattern).parse()
+
+
+def reverse_node(node: Node) -> Node:
+    """AST of the reversed language: rev(L(node)) = L(reverse_node(node)).
+
+    Concatenation order flips, anchors swap (^ becomes an end-of-reversed
+    -string constraint and vice versa), everything else is pointwise.
+    Used for long-string start extraction: a match of P starts at s in
+    text iff a match of rev(P) ends at len - s in reversed text — the
+    *intended* backward-scan capability of the reference (mirrored bwd
+    transition rows, NFA.cc:52-53; never reachable there, regex.h:145-146)
+    expressed as a second forward program instead of a second table."""
+    if isinstance(node, Concat):
+        return Concat(tuple(reverse_node(p) for p in reversed(node.parts)))
+    if isinstance(node, Alt):
+        return Alt(tuple(reverse_node(p) for p in node.parts))
+    if isinstance(node, Repeat):
+        return Repeat(reverse_node(node.child), node.lo, node.hi)
+    if isinstance(node, Lit):
+        syms = set(node.syms)
+        swapped = (syms - {BOS, EOS}) | (
+            {EOS} if BOS in syms else set()
+        ) | ({BOS} if EOS in syms else set())
+        return Lit(frozenset(swapped))
+    return node

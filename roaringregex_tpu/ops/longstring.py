@@ -647,6 +647,26 @@ class FastLongScanner:
             ok = jnp.bool_(True)
         return self._merge_counts(cnt, tail, mode), ok
 
+    @functools.partial(jax.jit, static_argnames=("self", "n", "mode", "W"))
+    def _spec_or_summary(self, data, *, n: int, mode: str, W: int):
+        """Speculative scan with a device-side verdict: one fused program
+        computes the speculative value, and lax.cond runs the exact
+        summary+replay fallback only when validation fails — the verdict
+        never crosses to the host."""
+        val, ok = self._spec_impl(data, n=n, mode=mode, W=W)
+        nb = -(-(n + 2) // self.block)
+        v0_1, g1 = self._p1_layout(nb, True)
+
+        def spec(_):
+            return val
+
+        def fallback(_):
+            return self._sum_impl(
+                data, v0_1, g1, n=n, seeded=True, mode=mode
+            )
+
+        return jax.lax.cond(ok, spec, fallback, None)
+
     # -- dispatch ----------------------------------------------------------
     def _run(self, text, seeded: bool, mode: str):
         n = (
@@ -671,16 +691,14 @@ class FastLongScanner:
 
             W = get_config().spec_warmup
             if W and n + 2 > self.block:
-                # NB: reading the validation verdict is a host sync, so
-                # cyclic count/any calls are NOT pipelineable through
-                # _run (callers that need back-to-back un-synced scans
-                # can drive _spec_impl directly and batch the verdicts,
-                # as bench.py's device-loop does); a failed validation
-                # costs one wasted speculative pass before the exact
-                # summary fallback below. RRX_SPEC_WARMUP=0 disables.
-                val, ok = self._spec_impl(data, n=n, mode=mode, W=W)
-                if bool(ok):  # host sync: validation verdict
-                    return val
+                # the validation verdict stays DEVICE-RESIDENT: lax.cond
+                # selects between the speculative value and the exact
+                # summary fallback, so back-to-back cyclic count/any
+                # scans pipeline with no per-call tunnel round trip
+                # (VERDICT r4 #7; previously `if bool(ok)` synced here).
+                # The fallback branch costs one extra compile, executes
+                # only on failed validation. RRX_SPEC_WARMUP=0 disables.
+                return self._spec_or_summary(data, n=n, mode=mode, W=W)
         if self._wide:
             # unseeded (anchored/fullmatch) scan on a wide tile: portable
             # summary scanner — the packed pseudo-record layout only pays

@@ -15,6 +15,28 @@ PATTERNS = ["cat|dog", "(ab)*c+d?", "a{2,9}", "^ab", "ab$", "(cat|dog)*",
             "[a-c]+x"]
 
 
+
+_TESTS_PER_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_periodically():
+    """This module compiles the largest kernel population of the suite
+    (summary+replay, speculative, counting, dotstar, reversed-program
+    variants); the XLA CPU runtime aborts when too many executables
+    accumulate in one process (see conftest's per-module clear), so
+    clear every few tests here to bound the population."""
+    yield
+    _TESTS_PER_CLEAR[0] += 1
+    if _TESTS_PER_CLEAR[0] % 4 == 0:
+        import gc
+
+        import jax
+
+        gc.collect()
+        jax.clear_caches()
+
+
 def _texts(rng, n=6, L=200):
     out = [b"", b"cat", b"catdog" * 20]
     for _ in range(n):
@@ -193,11 +215,33 @@ def test_finditer_long_matches_oracle():
         set_config(base)
 
 
-def test_finditer_long_cyclic_raises():
+def test_finditer_long_cyclic():
+    """Cyclic (unbounded-match-length) patterns: spans over one long
+    string via the reversed-program start scan + doubling-window ends
+    (round-5 task; the bounded-horizon wall is gone)."""
     import roaringregex_tpu as rrx
 
-    with pytest.raises(ValueError, match="bounded-horizon"):
-        rrx.Pattern("(ab)*c").finditer_long(b"ababc")
+    rng = np.random.default_rng(6)
+    base = bytes(rng.choice(list(b"abcdert og"), size=1100).astype(np.uint8))
+    text = (
+        base[:400] + b"cat" + base[400:800] + b"abababc"
+        + base[800:] + b"dog"
+    )
+    for pattern in ["(ab)*c", ".*(cat|dog).*"]:
+        p = rrx.Pattern(pattern)
+        orc = OracleEngine(p.program.nfa)
+        for longest in (False, True):
+            got = p.finditer_long(text, longest=longest)
+            want = orc.findall(text, longest=longest)
+            assert got == want, (pattern, longest, got[:4], want[:4])
+    # nullable cyclic: lazy = empty match everywhere, greedy via claims
+    pn = rrx.Pattern("(ab)*")
+    t2 = b"xabababy"
+    assert pn.finditer_long(t2) == [(p, p) for p in range(len(t2) + 1)]
+    orc = OracleEngine(pn.program.nfa)
+    assert pn.finditer_long(t2, longest=True) == orc.findall(
+        t2, longest=True
+    )
 
 
 # ---------------------------------------------------------------------------
