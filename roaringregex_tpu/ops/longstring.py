@@ -647,15 +647,21 @@ class FastLongScanner:
             ok = jnp.bool_(True)
         return self._merge_counts(cnt, tail, mode), ok
 
-    @functools.partial(jax.jit, static_argnames=("self", "n", "mode", "W"))
     def _spec_or_summary(self, data, *, n: int, mode: str, W: int):
         """Speculative scan with a device-side verdict: one fused program
         computes the speculative value, and lax.cond runs the exact
         summary+replay fallback only when validation fails — the verdict
-        never crosses to the host."""
-        val, ok = self._spec_impl(data, n=n, mode=mode, W=W)
+        never crosses to the host. The summary layout constants build
+        OUTSIDE the trace (they are cached on self)."""
         nb = -(-(n + 2) // self.block)
         v0_1, g1 = self._p1_layout(nb, True)
+        return self._spec_or_summary_impl(
+            data, v0_1, g1, n=n, mode=mode, W=W
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self", "n", "mode", "W"))
+    def _spec_or_summary_impl(self, data, v0_1, g1, *, n, mode, W):
+        val, ok = self._spec_impl(data, n=n, mode=mode, W=W)
 
         def spec(_):
             return val
