@@ -67,6 +67,8 @@ class BitbandSpec(NamedTuple):
     rank1: Tuple[Tuple[int, int], ...]  # (dst_word, dst_bit) per column term
     tri_gaps: Tuple[int, ...]  # triangle families (one exit set E; per
     # family gap g: target p receives any exit q with q < p - g)
+    tri_win: Tuple[int, int]  # word range [lo_w, hi_w) holding E and all
+    # targets — the prefix-OR runs on this slice, not all W words
     runs: Tuple[Tuple[int, int], ...]  # byte runs (lo, hi)
     bos_nz: bool  # BOS mask has any bit (^ patterns)
     eos_nz: bool  # EOS mask has any bit ($ patterns)
@@ -165,12 +167,21 @@ def bitband_spec(
     runs = tuple((int(l), int(h)) for l, h in zip(lo, hi))
     bos_nz = bool(np.asarray(prog.Bc_words[prog.bos_class]).any())
     eos_nz = bool(np.asarray(prog.Bc_words[prog.eos_class]).any())
+    tri_win = (0, W)
+    if tri_gaps:
+        members = np.concatenate(
+            [tri_exits] + [np.asarray(v) for v in tri_fams.values()]
+        )
+        lo_w = (int(members.min()) // 32) // 8 * 8
+        hi_w = min(W, -(-(int(members.max()) // 32 + 1) // 8) * 8)
+        tri_win = (lo_w, hi_w)
     del tri_exits, tri_fams  # recomputed deterministically at table build
     return BitbandSpec(
         W=W,
         diags=diags,
         rank1=tuple((int(c) // 32, int(c) % 32) for c in rank1),
         tri_gaps=tri_gaps,
+        tri_win=tri_win,
         runs=runs,
         bos_nz=bos_nz,
         eos_nz=eos_nz,
@@ -354,6 +365,8 @@ def _prefix_excl(x, B: int, ltri=None):
     the VPU budget; without it (interpret mode), a log-depth roll scan."""
     W = x.shape[0]
     e_in = (x | (jnp.uint32(0) - x)) << 1
+    if W <= 16:
+        ltri = None  # a 4-round roll scan beats the MXU round trip
     if ltri is not None:
         # f32 keeps the (8, 128) tile of the u32 domain — a bf16 matmul
         # here costs more in layout conversion than it saves on the MXU
@@ -381,6 +394,8 @@ def _suffix_excl(x, B: int, utri=None):
     for s in (1, 2, 4, 8, 16):
         a = a | (a >> s)
     e_in = a >> 1
+    if W <= 16:
+        utri = None  # a 4-round roll scan beats the MXU round trip
     if utri is not None:
         wf = jnp.where(x != 0, 1.0, 0.0).astype(jnp.float32)
         c = jnp.dot(utri, wf, preferred_element_type=jnp.float32)
@@ -514,18 +529,25 @@ def _expand(v, t, spec: BitbandSpec, *, B: int, rev: bool, tri=None):
                 s = jnp.where(iota_w == wj, hasb, jnp.uint32(0))
             y = s if y is None else y | s
     if spec.tri_gaps:
-        Eb = t["E"]
+        # the triangle lives in the {m,n} tail's word window — slice it
+        # out so every prefix/suffix/shift op runs on (hi-lo) sublane
+        # rows instead of all W (exits below / targets above the window
+        # do not exist, so zero-fill at the slice edges is exact)
+        lo, hi = spec.tri_win
+        vs = v[lo:hi]
+        Eb = t["E"][lo:hi]
+        trs = tri[lo:hi, lo:hi] if tri is not None else None
         if rev:
             # F: exit q receives any target p with p > q + g
             acc = None
             for g, Tb in zip(spec.tri_gaps, t["fams"]):
-                s = _suffix_excl(v & Tb, B, tri)
+                s = _suffix_excl(vs & Tb[lo:hi], B, trs)
                 s = _shift_down(s, g, B) if g else s
                 acc = s if acc is None else acc | s
             s = Eb & acc
         else:
             # F^T: target p receives any exit q with q < p - g
-            P = _prefix_excl(v & Eb, B, tri)
+            P = _prefix_excl(vs & Eb, B, trs)
             roll_p = None
             acc = None
             for g, Tb in zip(spec.tri_gaps, t["fams"]):
@@ -537,9 +559,16 @@ def _expand(v, t, spec: BitbandSpec, *, B: int, rev: bool, tri=None):
                     s = _shift_up_r1(P, g, roll_p, B)
                 else:
                     s = _shift_up(P, g, B)
-                s = Tb & s
+                s = Tb[lo:hi] & s
                 acc = s if acc is None else acc | s
             s = acc
+        parts = []
+        if lo:
+            parts.append(jnp.zeros((lo, B), jnp.uint32))
+        parts.append(s)
+        if hi < spec.W:
+            parts.append(jnp.zeros((spec.W - hi, B), jnp.uint32))
+        s = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         y = s if y is None else y | s
     if y is None:
         y = jnp.zeros((W, B), jnp.uint32)
