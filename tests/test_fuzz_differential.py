@@ -176,3 +176,89 @@ def test_fuzz_long_mode_vs_oracle(seed):
                 )
     finally:
         set_config(base)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_bitband_vs_oracle(seed):
+    """Fuzz the sparse bitband decomposition: random {m,n} tails with
+    context (blocking alias/counting), forced onto the sparse tier via a
+    low dense_max; raw kernels only (no prefilter) vs oracle."""
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    rng = np.random.default_rng(4000 + seed)
+    base = get_config()
+    try:
+        set_config(base.with_(
+            seeded_alias=False, sparse_prefilter=False, dense_max=256
+        ))
+        tested = 0
+        while tested < 5:
+            bodies = ["(ab|c)", "[a-d]", "(ab|cd|e)", "(abc|d)"]
+            body = bodies[int(rng.integers(0, len(bodies)))]
+            m = int(rng.integers(60, 110))
+            n = m + int(rng.integers(3, 30))
+            pre = ["x", "", "xy"][int(rng.integers(0, 3))]
+            post = ["y", "", "z"][int(rng.integers(0, 3))]
+            pattern = f"{pre}{body}{{{m},{n}}}{post}"
+            pat = rrx.Pattern(pattern, backend="pallas")
+            if pat.tier != "sparse":
+                continue
+            tested += 1
+            orc = OracleEngine(pat.program.nfa)
+            texts = [b"", ("x" + "ab" * n + "y").encode()]
+            for _ in range(5):
+                ln = int(rng.integers(0, 380))
+                texts.append(bytes(
+                    rng.choice(list(b"abcdexyz"), size=ln).astype(np.uint8)
+                ))
+            cnt = pat.count_batch(texts)
+            fm = pat.fullmatch_batch(texts)
+            for i, t in enumerate(texts):
+                assert int(cnt[i]) == len(orc.ends(t)), (pattern, i)
+                assert bool(fm[i]) == orc.fullmatch(t), (pattern, i)
+    finally:
+        set_config(base)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_multipattern_swar(seed):
+    """Fuzz slotted multi-pattern SWAR (random small patterns x random
+    slot counts) against per-pattern oracles."""
+    from roaringregex_tpu.api import MultiPattern
+    from roaringregex_tpu.compiler.nfa import build_nfa
+
+    rng = np.random.default_rng(5000 + seed)
+    for _ in range(4):
+        P = int(rng.integers(2, 5))
+        pats = []
+        while len(pats) < P:
+            p = _gen_pattern(rng)
+            try:
+                if build_nfa(p).n_states <= 8:
+                    pats.append(p)
+            except Exception:
+                pass
+        mp = MultiPattern(pats, backend="pallas")
+        texts = [t.decode("latin1") for t in _gen_texts(rng, n=8)]
+        cnt = np.asarray(mp.count_batch(texts))
+        for p_i, p in enumerate(pats):
+            orc = OracleEngine(build_nfa(p))
+            for t_i, t in enumerate(texts):
+                assert int(cnt[t_i, p_i]) == len(orc.ends(t)), (pats, p, t)
+
+
+def test_fuzz_cyclic_finditer_long():
+    """Randomized cyclic patterns through the reversed-program long-span
+    path vs the oracle (lazy only — greedy is claim-sequential and
+    covered by the targeted test)."""
+    rng = np.random.default_rng(77)
+    pats = ["(ab)*c", "a(bc)*d", "(a|bc)+x", ".*(cat|dog).*"]
+    for pattern in pats:
+        p = rrx.Pattern(pattern)
+        if p.program.horizon is not None:
+            continue
+        orc = OracleEngine(p.program.nfa)
+        base = bytes(rng.choice(list(b"abcdx og"), 900).astype(np.uint8))
+        text = base[:300] + b"ababc" + base[300:600] + b"catd" + base[600:]
+        got = p.finditer_long(text)
+        assert got == orc.findall(text), pattern
