@@ -399,6 +399,31 @@ def bench_spans(pattern: str, data, lengths, *, iters: int = 6,
     else:
         bps = _sustained(lambda: run(d, len_g), int(lengths.sum()),
                          pipeline=pipeline, iters=iters)
+    # greedy (POSIX leftmost-longest) rate on the same batch: the SWAR
+    # anchored-rescan rounds should keep it within ~15% of lazy
+    # (VERDICT r4 #6's done-criterion); recorded alongside, the lazy
+    # number stays the config's headline
+    info = dict(LAST_INFO)
+
+    def run_g(d, len_g):
+        s, e, cnt, over = engine.device_scanner.greedy_spans_b(
+            d, len_g, cap=cap
+        )
+        return jnp.sum(cnt), jnp.max(cnt)
+
+    run_g = jax.jit(run_g)
+    jax.block_until_ready(run_g(d, len_g))
+    if jax.default_backend() == "tpu":
+        g_bps = _device_sustained(run_g, d, len_g, int(lengths.sum()))
+    else:
+        g_bps = _sustained(lambda: run_g(d, len_g), int(lengths.sum()),
+                           pipeline=pipeline, iters=max(3, iters // 2))
+    info["greedy_gbps"] = round(g_bps / 1e9, 3)
+    info["greedy_vs_lazy"] = round(g_bps / max(bps, 1), 3)
+    LAST_INFO.clear()
+    LAST_INFO.update(info)
+    log(f"  [spans greedy] {g_bps/1e9:.2f} GB/s "
+        f"({g_bps/max(bps,1):.0%} of lazy)")
     return bps, int(total)
 
 
