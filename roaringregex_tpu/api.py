@@ -605,6 +605,9 @@ class MultiPattern:
         subprogs = None
         if P <= 4 and all(n.n_states <= 8 for n in nfas):
             subprogs = [compile_program(n) for n in nfas]
+        # public: DistScanner callers forward these to get the slotted
+        # multi-pattern SWAR path on the mesh too
+        self.subprograms = subprogs
         self.engine = ScanEngine(
             prog,
             backend=backend,

@@ -104,10 +104,13 @@ class DistScanner:
         accept_map=None,
         channels_per_record: int = 1,
         nullable: Optional[bool] = None,
+        subprograms=None,
     ):
         """``accept_map`` / ``channels_per_record`` mirror ScanEngine's
         first-class multi-pattern interface: C = G*P accept channels per
-        packed row, per-record-per-pattern stats from one sharded scan."""
+        packed row, per-record-per-pattern stats from one sharded scan.
+        ``subprograms`` (MultiPattern.subprograms) lets the sharded grep
+        run slotted SWAR when every pattern fits the 8-state tile."""
         self.prog = prog
         self.mesh = mesh
         self.axis = axis
@@ -135,7 +138,25 @@ class DistScanner:
                 # run-length tier: X{m,n} scans with no follow matmul
                 self._plk = spl.CountScanner(prog, plan, nullable=nullable)
             elif self.dense:
-                self._plk = spl.PallasScanner(prog, tables, nullable=nullable)
+                swar_multi = None
+                if accept_map is not None and subprograms:
+                    from ..ops import scan_swar as ssw
+                    from ..utils.config import get_config
+
+                    if (
+                        get_config().swar
+                        and channels_per_record == len(subprograms)
+                    ):
+                        ms = ssw.swar_multi_spec(subprograms)
+                        if ms is not None:
+                            # slotted multi-pattern SWAR on the mesh
+                            swar_multi = ssw.SwarMultiScanner(
+                                prog, tables, ms, channels_per_record,
+                                nullable=nullable,
+                            )
+                self._plk = swar_multi or spl.PallasScanner(
+                    prog, tables, nullable=nullable
+                )
         # replicate tables on every chip (broadcast once, like the
         # "transition tables replicated" requirement of BASELINE config 5)
         rep = NamedSharding(mesh, P())
