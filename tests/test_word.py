@@ -125,12 +125,15 @@ def test_multipattern_channels_parity():
     per-pattern single scans."""
     from roaringregex_tpu.api import MultiPattern, Pattern
 
-    pats = ["cat|dog", "[0-9]{3}", "err(or)?", "ab(cd)*e"]
+    # "deadbeefs|x" needs > 8 states, so the slotted multi-SWAR path
+    # (which requires EVERY pattern to fit the 8-state tile) stands
+    # aside and the combined word tier serves the channels
+    pats = ["cat|dog", "[0-9]{3}", "deadbeefs|x", "ab(cd)*e"]
     mp = MultiPattern(pats, backend="pallas")
     assert type(mp.engine._pallas).__name__ == "WordScanner"
     texts = [
-        b"the cat sat", b"error 404", b"abcdcde", b"x" * 30, b"",
-        b"dog errors 123", b"abe", b"catdog999",
+        b"the cat sat", b"deadbeefs 404", b"abcdcde", b"x" * 30, b"",
+        b"dog deadbeefs 123", b"abe", b"catdog999",
     ]
     got = mp.count_batch(texts)
     for p, pat in enumerate(pats):
