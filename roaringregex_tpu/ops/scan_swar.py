@@ -432,6 +432,21 @@ def _swar_kernel(
     ]
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
 
+    # slab-composed stepping: with ONE positive diagonal d and per-step
+    # seeding, the recurrence v' = ((v | s) << d) & g is affine in the
+    # bit domain and composes: v_{m+j} = ((v_m << j*d) & P_j) | E_j with
+    # P_{j+1} = (P_j << d) & g_j  (mask transfer)
+    # E_{j+1} = ((E_j | s) << d) & g_j  (accumulated seeds)
+    # — both mask-only, computed OFF the sequential chain. The whole
+    # 8-byte slab then advances in THREE dependent ops instead of ~40
+    # (composed-mask survival implies a real per-step in-record chain,
+    # by the same u >= d no-leakage induction as single stepping).
+    compose = (
+        seeded
+        and len(spec.diags) == 1
+        and 0 < spec.diags[0][0] <= 3  # 8*d must fit a u32 shift
+    )
+
     def body(i, _):
         slab = data_ref[i]
         jr = riota + (j * T_chunk + i * 8 - 1)
@@ -440,24 +455,45 @@ def _swar_kernel(
         v = v_s[:]
         prev = pf_s[:] if spec.has_eos else None
         logw = jnp.zeros((G8, B), u32)
-        for m in range(8):
-            tl = j * T_chunk + i * 8 + m
-            if seeded:
-                vv = v | seedw
-            else:
-                vv = jnp.where(tl < 2, v | seedw, v)
-            nxt = None
-            for d, pis in spec.diags:
+        if compose:
+            d, pis = spec.diags[0]
+            gms = []
+            for m in range(8):
                 gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
                 for pi in pis[1:]:
                     gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
-                t = sh & gm
-                nxt = t if nxt is None else nxt | t
-            v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+                gms.append(gm)
+            P = None  # P_0 = all-ones: elide the first AND
+            E = jnp.zeros((G8, B), u32)
+            vs = []
+            for m in range(8):
+                P = gms[m] if P is None else (P << d) & gms[m]
+                E = ((E | seedw) << d) & gms[m]
+                sh = v << ((m + 1) * d)
+                vs.append((sh & P) | E)
+            v = vs[-1]
+        for m in range(8):
+            if compose:
+                v_m = vs[m]
+            else:
+                tl = j * T_chunk + i * 8 + m
+                if seeded:
+                    vv = v | seedw
+                else:
+                    vv = jnp.where(tl < 2, v | seedw, v)
+                nxt = None
+                for d, pis in spec.diags:
+                    gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                    for pi in pis[1:]:
+                        gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                    sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
+                    t = sh & gm
+                    nxt = t if nxt is None else nxt | t
+                v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+                v_m = v
             fl = None
             for s in spec.accept_bits:
-                t = v >> s if s else v
+                t = v_m >> s if s else v_m
                 fl = t if fl is None else fl | t
             if fl is not None:
                 fl = fl & u32(M1)
