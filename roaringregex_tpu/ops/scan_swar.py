@@ -358,6 +358,12 @@ def _swar_multi_kernel(
     # shared liveness spec fields (only has_eos / has_bos are read)
     lm_spec = spec
 
+    compose = (
+        len(spec.diags) == 1
+        and 0 < spec.diags[0][0] <= 3  # slab-composed stepping (see
+        # _swar_kernel): one shared diagonal across every slot
+    )
+
     def body(i, _):
         slab = data_ref[i]
         jr = riota + (j * T_chunk + i * 8 - 1)
@@ -366,24 +372,49 @@ def _swar_multi_kernel(
         v = v_s[:]
         prev = pf_s[:] if spec.has_eos else None
         logw = jnp.zeros((G8, B), u32)
-        for m in range(8):
-            tl = j * T_chunk + i * 8 + m
-            if seeded:
-                vv = v | seedw
-            else:
-                vv = jnp.where(tl < 2, v | seedw, v)
-            nxt = None
-            for d, pis in spec.diags:
+        if compose:
+            d, pis = spec.diags[0]
+            gms = []
+            for m in range(8):
                 gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
                 for pi in pis[1:]:
                     gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
-                t = sh & gm
-                nxt = t if nxt is None else nxt | t
-            v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+                gms.append(gm)
+            P = None
+            E = jnp.zeros((G8, B), u32)
+            vs = []
+            for m in range(8):
+                if seeded:
+                    sm = seedw
+                else:
+                    tl = j * T_chunk + i * 8 + m
+                    sm = jnp.where(tl < 2, seedw, u32(0))
+                P = gms[m] if P is None else (P << d) & gms[m]
+                E = ((E | sm) << d) & gms[m]
+                vs.append(((v << ((m + 1) * d)) & P) | E)
+            v = vs[-1]
+        for m in range(8):
+            if compose:
+                v_m = vs[m]
+            else:
+                tl = j * T_chunk + i * 8 + m
+                if seeded:
+                    vv = v | seedw
+                else:
+                    vv = jnp.where(tl < 2, v | seedw, v)
+                nxt = None
+                for d, pis in spec.diags:
+                    gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                    for pi in pis[1:]:
+                        gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                    sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
+                    t = sh & gm
+                    nxt = t if nxt is None else nxt | t
+                v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+                v_m = v
             fl = None
             for (k, s) in spec.accepts:
-                t = (v >> s if s else v) & u32(1 << (8 * k))
+                t = (v_m >> s if s else v_m) & u32(1 << (8 * k))
                 fl = t if fl is None else fl | t
             if fl is not None:
                 if spec.has_eos:
@@ -442,8 +473,7 @@ def _swar_kernel(
     # (composed-mask survival implies a real per-step in-record chain,
     # by the same u >= d no-leakage induction as single stepping).
     compose = (
-        seeded
-        and len(spec.diags) == 1
+        len(spec.diags) == 1
         and 0 < spec.diags[0][0] <= 3  # 8*d must fit a u32 shift
     )
 
@@ -467,8 +497,13 @@ def _swar_kernel(
             E = jnp.zeros((G8, B), u32)
             vs = []
             for m in range(8):
+                if seeded:
+                    sm = seedw
+                else:
+                    tl = j * T_chunk + i * 8 + m
+                    sm = jnp.where(tl < 2, seedw, u32(0))
                 P = gms[m] if P is None else (P << d) & gms[m]
-                E = ((E | seedw) << d) & gms[m]
+                E = ((E | sm) << d) & gms[m]
                 sh = v << ((m + 1) * d)
                 vs.append((sh & P) | E)
             v = vs[-1]
@@ -548,6 +583,11 @@ def _swar_reverse_kernel(
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
     nS = T_chunk // 8
 
+    compose = (
+        len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
+    )  # slab-composed stepping, mirrored: R' = ((R | a) & g) >> d gives
+    # P_{j+1} = (P_j & g_j) >> d, E_{j+1} = ((E_j | a) & g_j) >> d
+
     def body(i, _):
         iq = nS - 1 - i
         slab = data_ref[iq]
@@ -556,19 +596,37 @@ def _swar_reverse_kernel(
         gmask = _gates_slab(slab, am, em, bm, spec)
         R = r_s[:]
         logw = jnp.zeros((G8, B), u32)
-        for m in reversed(range(8)):
-            Ra = R | u32(accm)
-            nxt = None
-            for d, pis in spec.diags:
+        if compose:
+            d, pis = spec.diags[0]
+            P = None
+            E = jnp.zeros((G8, B), u32)
+            Rs = {}
+            for m in reversed(range(8)):
                 gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
                 for pi in pis[1:]:
                     gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                t = Ra & gm
-                sh = t if d == 0 else (t >> d if d > 0 else t << -d)
-                nxt = sh if nxt is None else nxt | sh
-            R = nxt if nxt is not None else jnp.zeros((G8, B), u32)
-            hit = R & u32(M1)
-            logw = logw | (hit << m if m else hit)
+                P = (gm >> d) if P is None else (P & gm) >> d
+                E = ((E | u32(accm)) & gm) >> d
+                jstep = 8 - m  # steps applied so far
+                Rs[m] = ((R >> (jstep * d)) & P) | E
+            R = Rs[0]
+            for m in reversed(range(8)):
+                hit = Rs[m] & u32(M1)
+                logw = logw | (hit << m if m else hit)
+        else:
+            for m in reversed(range(8)):
+                Ra = R | u32(accm)
+                nxt = None
+                for d, pis in spec.diags:
+                    gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                    for pi in pis[1:]:
+                        gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                    t = Ra & gm
+                    sh = t if d == 0 else (t >> d if d > 0 else t << -d)
+                    nxt = sh if nxt is None else nxt | sh
+                R = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+                hit = R & u32(M1)
+                logw = logw | (hit << m if m else hit)
         log_out[iq] = logw
         r_s[:] = R
         return 0
@@ -706,6 +764,11 @@ def _swar_anchor_kernel(
     stk = [starts_ref[k * G8 : (k + 1) * G8] for k in range(4)]
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
 
+    compose = (
+        len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
+    )  # slab-composed stepping (see _swar_kernel); the per-record start
+    # gates are v-independent, so they fold into the E seed recurrence
+
     def body(i, _):
         slab = data_ref[i]
         jr = riota + (j * T_chunk + i * 8 - 1)
@@ -713,6 +776,7 @@ def _swar_anchor_kernel(
         gmask = _gates_slab(slab, am, em, bm, spec)
         v = v_s[:]
         logw = jnp.zeros((G8, B), u32)
+        seedms = []
         for m in range(8):
             tg = j * T_chunk + i * 8 + m
             seedm = jnp.zeros((G8, B), u32)
@@ -722,19 +786,38 @@ def _swar_anchor_kernel(
                 ) & (stk[k] >= 0)
                 g32 = gate.astype(u32)
                 seedm = seedm | (g32 << (8 * k) if k else g32)
-            vv = v | seedm
-            nxt = None
-            for d, pis in spec.diags:
+            seedms.append(seedm)
+        if compose:
+            d, pis = spec.diags[0]
+            P = None
+            E = jnp.zeros((G8, B), u32)
+            vs = []
+            for m in range(8):
                 gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
                 for pi in pis[1:]:
                     gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
-                t = sh & gm
-                nxt = t if nxt is None else nxt | t
-            v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+                P = gm if P is None else (P << d) & gm
+                E = ((E | seedms[m]) << d) & gm
+                vs.append(((v << ((m + 1) * d)) & P) | E)
+            v = vs[-1]
+        for m in range(8):
+            if compose:
+                v_m = vs[m]
+            else:
+                vv = v | seedms[m]
+                nxt = None
+                for d, pis in spec.diags:
+                    gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+                    for pi in pis[1:]:
+                        gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+                    sh = vv if d == 0 else (vv << d if d > 0 else vv >> -d)
+                    t = sh & gm
+                    nxt = t if nxt is None else nxt | t
+                v = nxt if nxt is not None else jnp.zeros((G8, B), u32)
+                v_m = v
             fl = None
             for s in spec.accept_bits:
-                t = v >> s if s else v
+                t = v_m >> s if s else v_m
                 fl = t if fl is None else fl | t
             if fl is not None:
                 emit = fl & u32(M1)
