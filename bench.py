@@ -692,7 +692,30 @@ def main():
     import jax
 
     total_bytes = args.bytes or (1_000_000 if args.quick else 10_000_000)
+    # backend-init watchdog: the axon tunnel can wedge (a killed client's
+    # session lock is never released server-side) and jax.devices() then
+    # blocks in a connect-retry loop forever. Emit an honest artifact and
+    # exit instead of hanging the driver. Normal init is ~5 s; the
+    # timeout is generous (RRX_BENCH_INIT_TIMEOUT seconds, default 900).
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        t = int(os.environ.get("RRX_BENCH_INIT_TIMEOUT", "900"))
+        if not init_done.wait(t):
+            log(f"bench: backend init exceeded {t}s — TPU tunnel "
+                "unavailable; emitting a zero artifact")
+            print(json.dumps(dict(
+                metric="scan_throughput_config1_literal_union",
+                value=0.0, unit="bytes/sec", vs_baseline=0.0,
+                error="TPU backend init timeout (tunnel unavailable)",
+            )), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    init_done.set()
 
     results = {}
     infos = {}
