@@ -298,3 +298,46 @@ def test_cli_stream_spans(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0
     assert out == ["4-7", "0-3 4-7"]
+
+
+def test_spans_stream_sparse_bitband():
+    """Out-of-core span extraction on a >256-state (forced-sparse)
+    pattern: spans_stream -> engine.lazy_spans (prefilter compaction) ->
+    bitband anchored span rounds, all inside the chunk jit."""
+    from roaringregex_tpu.utils.config import get_config, set_config
+
+    base = get_config()
+    try:
+        set_config(base.with_(dense_max=256, seeded_alias=False))
+        pat = "x(ab|c){100,120}y"
+        hit = b"x" + b"ab" * 50 + b"c" * 10 + b"y"
+        eng = ScanEngine(compile_program(pat), backend="pallas")
+        from roaringregex_tpu.ops.scan_bitband import BitbandScanner
+
+        assert isinstance(eng.device_scanner, BitbandScanner)
+        sc = StreamScanner(eng, depth=2)
+        rng = np.random.default_rng(13)
+        chunks = []
+        for k in range(2):
+            B, L = 24, 256
+            data = rng.integers(97, 123, size=(B, L), dtype=np.uint8)
+            data[3, 10 : 10 + len(hit)] = np.frombuffer(hit, np.uint8)
+            lens = np.full(B, L, np.int32)
+            chunks.append((data, lens))
+        orc = OracleEngine(eng.prog.nfa)
+        n_hits = 0
+        for s_b, e_b, c_b, over, data, lens in sc.spans_stream(
+            iter(chunks), cap=4
+        ):
+            assert not over.any()
+            for i in range(len(lens)):
+                t = bytes(data[i, : lens[i]])
+                want = orc.findall(t)
+                got = list(zip(
+                    s_b[i, : c_b[i]].tolist(), e_b[i, : c_b[i]].tolist()
+                ))
+                assert got == want, i
+                n_hits += len(want)
+        assert n_hits >= 2
+    finally:
+        set_config(base)
