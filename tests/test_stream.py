@@ -310,7 +310,7 @@ def test_spans_stream_sparse_bitband():
     try:
         set_config(base.with_(dense_max=256, seeded_alias=False))
         pat = "x(ab|c){100,120}y"
-        hit = b"x" + b"ab" * 50 + b"c" * 10 + b"y"
+        hit = b"x" + b"ab" * 20 + b"c" * 85 + b"y"  # 105 copies
         eng = ScanEngine(compile_program(pat), backend="pallas")
         from roaringregex_tpu.ops.scan_bitband import BitbandScanner
 
