@@ -190,10 +190,13 @@ def _word_kernel(
 
     lens = len_ref[:]
 
+    compose = len(spec.dg) == 1 and 0 < spec.dg[0][0] <= 3
+
     def body(i, _):
         w0 = data_ref[2 * i]
         w1 = data_ref[2 * i + 1]
         v = v_s[:]
+        cPE = [None, jnp.zeros((ROWS, B), u32)]
         prevs = (
             [pf_s[p * ROWS : (p + 1) * ROWS] != 0 for p in range(P)]
             if spec.has_eos
@@ -227,21 +230,39 @@ def _word_kernel(
                     if g is not None
                     else jnp.zeros((ROWS, B), jnp.bool_)
                 )
-            if seeded:
-                vv = v | u32(1)
+            if compose:
+                # slab-composed stepping (see scan_swar._swar_kernel):
+                # accumulate the step's effective mask; the state only
+                # advances once per slab through the P/E recurrences
+                dlt = spec.dg[0][0]
+                gm = None
+                for gid, mask in spec.dg[0][1]:
+                    t = jnp.where(gates[gid], u32(mask), u32(0))
+                    gm = t if gm is None else gm | t
+                sm = u32(1) if seeded else jnp.where(tg < 2, u32(1), u32(0))
+                cP = gm if cPE[0] is None else (cPE[0] << dlt) & gm
+                cE = ((cPE[1] | sm) << dlt) & gm
+                cPE[0], cPE[1] = cP, cE
+                v_m = ((v << ((m + 1) * dlt)) & cP) | cE
+                if m == 7:
+                    v = v_m
             else:
-                vv = jnp.where(tg < 2, v | u32(1), v)
-            nxt = None
-            for dlt, ps in spec.dg:
-                sh = vv if dlt == 0 else (
-                    vv << dlt if dlt > 0 else vv >> -dlt
-                )
-                for gid, mask in ps:
-                    t = jnp.where(gates[gid], sh & u32(mask), u32(0))
-                    nxt = t if nxt is None else nxt | t
-            v = nxt if nxt is not None else jnp.zeros((ROWS, B), u32)
+                if seeded:
+                    vv = v | u32(1)
+                else:
+                    vv = jnp.where(tg < 2, v | u32(1), v)
+                nxt = None
+                for dlt, ps in spec.dg:
+                    sh = vv if dlt == 0 else (
+                        vv << dlt if dlt > 0 else vv >> -dlt
+                    )
+                    for gid, mask in ps:
+                        t = jnp.where(gates[gid], sh & u32(mask), u32(0))
+                        nxt = t if nxt is None else nxt | t
+                v = nxt if nxt is not None else jnp.zeros((ROWS, B), u32)
+                v_m = v
             for p in range(P):
-                fl = (v & u32(spec.acc_masks[p])) != 0
+                fl = (v_m & u32(spec.acc_masks[p])) != 0
                 if spec.has_eos:
                     # the EOS step's accept duplicates end == len when the
                     # final byte step already flagged; emit only if new
