@@ -228,3 +228,21 @@ def test_cli_host_multi_pattern():
         ["--backend", "host", "-c", "-e", "error", "-e", "caps"], LINES
     )
     assert code == 0 and out.strip() == "3"
+
+
+def test_cli_long_spans_cyclic(tmp_path, capsys):
+    """--long -o over a cyclic pattern: the reversed-program span path
+    through the CLI."""
+    from roaringregex_tpu.cli import main
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"zz" + b"ab" * 6 + b"c" + b"qqq" + b"abc" + b"x" * 40)
+    rc = main(["(ab)*c", str(f), "--long", "-o"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    want = OracleEngine.compile("(ab)*c").findall(f.read_bytes())
+    spans_txt = out[0].rsplit(":", 1)[-1]
+    got = [tuple(map(int, p.split("-"))) for p in spans_txt.split()]
+    assert got == want
