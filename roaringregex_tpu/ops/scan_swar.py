@@ -358,8 +358,11 @@ def _swar_multi_kernel(
     # shared liveness spec fields (only has_eos / has_bos are read)
     lm_spec = spec
 
+    from ..utils.config import get_config
+
     compose = (
-        len(spec.diags) == 1
+        get_config().swar_compose
+        and len(spec.diags) == 1
         and 0 < spec.diags[0][0] <= 3  # slab-composed stepping (see
         # _swar_kernel): one shared diagonal across every slot
     )
@@ -472,8 +475,11 @@ def _swar_kernel(
     # 8-byte slab then advances in THREE dependent ops instead of ~40
     # (composed-mask survival implies a real per-step in-record chain,
     # by the same u >= d no-leakage induction as single stepping).
+    from ..utils.config import get_config
+
     compose = (
-        len(spec.diags) == 1
+        get_config().swar_compose
+        and len(spec.diags) == 1
         and 0 < spec.diags[0][0] <= 3  # 8*d must fit a u32 shift
     )
 
@@ -583,8 +589,11 @@ def _swar_reverse_kernel(
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
     nS = T_chunk // 8
 
+    from ..utils.config import get_config
+
     compose = (
-        len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
+        get_config().swar_compose
+        and len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
     )  # slab-composed stepping, mirrored: R' = ((R | a) & g) >> d gives
     # P_{j+1} = (P_j & g_j) >> d, E_{j+1} = ((E_j | a) & g_j) >> d
 
@@ -764,8 +773,11 @@ def _swar_anchor_kernel(
     stk = [starts_ref[k * G8 : (k + 1) * G8] for k in range(4)]
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
 
+    from ..utils.config import get_config
+
     compose = (
-        len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
+        get_config().swar_compose
+        and len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
     )  # slab-composed stepping (see _swar_kernel); the per-record start
     # gates are v-independent, so they fold into the E seed recurrence
 

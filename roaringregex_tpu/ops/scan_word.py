@@ -190,7 +190,13 @@ def _word_kernel(
 
     lens = len_ref[:]
 
-    compose = len(spec.dg) == 1 and 0 < spec.dg[0][0] <= 3
+    from ..utils.config import get_config
+
+    compose = (
+        get_config().swar_compose
+        and len(spec.dg) == 1
+        and 0 < spec.dg[0][0] <= 3
+    )
 
     def body(i, _):
         w0 = data_ref[2 * i]

@@ -71,6 +71,13 @@ class RrxConfig:
     swar_window_cols: int = field(
         default_factory=lambda: _env_int("RRX_SWAR_WINDOW_COLS", 1024)
     )
+    # slab-composed stepping in the SWAR/word kernels (single-diagonal
+    # specs advance a whole 8-byte slab in ~3 dependent ops);
+    # RRX_SWAR_COMPOSE=0 restores per-byte stepping for A/B diagnosis
+    swar_compose: bool = field(
+        default_factory=lambda: os.environ.get("RRX_SWAR_COMPOSE", "1")
+        != "0"
+    )
     # banded follow matrices (bounded-repetition chains): apply F^T as
     # <= this many diagonal shift+multiply VPU ops instead of the dense
     # lanes^2 MXU matmul; 0 disables the banded kernels
