@@ -299,19 +299,33 @@ class ScanEngine:
                 from .ops import scan_pallas as spl
 
                 if self._multiblock_container_wins(prog, cfg):
-                    # banded multiblock follow structure: the container
-                    # kernels need fewer MACs than the dense lanes^2
-                    # matmul (VERDICT r1 #5: the run/bitmap split applied
-                    # to 256 < S <= 1024)
+                    # banded multiblock follow structure: the dense
+                    # lanes^2 matmul wastes the MXU (VERDICT r1 #5);
+                    # prefer the bit-packed band kernels when the
+                    # structure decomposes, containers otherwise
                     sparse_am = None
                     if accept_map is not None:
                         sparse_am = np.asarray(accept_map)
-                    self._pallas = spl.SparseScanner(
-                        prog,
-                        sp.stream_tables(prog),
-                        accept_map=sparse_am,
-                        nullable=nullable,
+                    from .ops import scan_bitband as sbb
+
+                    bspec = (
+                        sbb.bitband_spec(prog) if cfg.bitband else None
                     )
+                    if bspec is not None:
+                        self._pallas = sbb.BitbandScanner(
+                            prog,
+                            sp.stream_tables(prog),
+                            bspec,
+                            accept_map=sparse_am,
+                            nullable=nullable,
+                        )
+                    else:
+                        self._pallas = spl.SparseScanner(
+                            prog,
+                            sp.stream_tables(prog),
+                            accept_map=sparse_am,
+                            nullable=nullable,
+                        )
                 else:
                     swar = None
                     if accept_map is None and channels_per_record == 1 and cfg.swar:

@@ -98,7 +98,8 @@ def bitband_spec(
        (loop-back targets, stray accept columns) fall back to exact
        per-column terms ``y[dst] |= any(v & in_edges(dst))``.
     """
-    if prog.tier != "sparse":
+    if prog.tier not in ("sparse", "multiblock"):
+        # dense128/256 tiers have cheaper lane-packed paths
         return None
     from ..utils.config import get_config
 

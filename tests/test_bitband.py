@@ -163,3 +163,31 @@ def test_bitband_fuzz_vs_oracle(sparse_cfg):
         cnt = p.count_batch(texts)
         for t, c in zip(texts, cnt):
             assert int(c) == len(orc.ends(t)), (pat, len(t))
+
+
+def test_bitband_multiblock_tier():
+    """256 < S <= 1024 context-wrapped {m,n} patterns (the container-
+    favored multiblock family) route to the bit kernels too."""
+    from roaringregex_tpu.ops.scan_bitband import BitbandScanner
+
+    base = get_config()
+    set_config(base.with_(seeded_alias=False))
+    try:
+        p = Pattern("x(ab|c){100,120}y", backend="pallas")
+        assert p.tier == "multiblock"
+        assert isinstance(p.engine.device_scanner, BitbandScanner)
+        orc = OracleEngine(p.program.nfa)
+        rng = np.random.default_rng(17)
+        texts = ["x" + "ab" * 50 + "c" * 15 + "y", ""]
+        for _ in range(6):
+            ln = int(rng.integers(0, 400))
+            texts.append("".join(rng.choice(list("xabcy"), size=ln)))
+        cnt = p.count_batch(texts)
+        fm = p.fullmatch_batch(texts)
+        for t, c, f in zip(texts, cnt, fm):
+            assert int(c) == len(orc.ends(t)), len(t)
+            assert bool(f) == orc.fullmatch(t), len(t)
+        t = texts[0][:300]
+        assert p.finditer_batch([t])[0] == orc.findall(t)
+    finally:
+        set_config(base)
