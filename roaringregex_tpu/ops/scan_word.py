@@ -217,7 +217,12 @@ def _word_kernel(
             d32 = ((word >> sh8 if sh8 else word) & u32(0xFF)).astype(
                 jnp.int32
             )
-            alive = jr < lens  # jr is a traced scalar; broadcasts
+            # jr == -1 is the BOS step: its stream slot holds a ZERO
+            # padding byte, which classes containing byte 0 ([^a], .)
+            # would otherwise match — a phantom transition before the
+            # record starts (latent since round 4; the SWAR kernel
+            # sidesteps it via an unsigned length compare)
+            alive = (jr >= 0) & (jr < lens)
             eosb = (jr == lens) if spec.has_eos else None
             gates = []
             for runs, bosf, eosf in spec.gates:

@@ -139,3 +139,23 @@ def test_multipattern_channels_parity():
     for p, pat in enumerate(pats):
         want = Pattern(pat).count_batch(texts)
         np.testing.assert_array_equal(got[:, p], want, err_msg=pat)
+
+
+def test_word_zero_byte_class_no_bos_phantom():
+    """Classes containing byte 0 ([^a], .) must not match the BOS step's
+    zero padding byte (latent round-4 bug: signed jr < lens let the
+    pre-record step count as alive)."""
+    from roaringregex_tpu.api import Pattern
+    from roaringregex_tpu.oracle.engine import OracleEngine
+
+    for pat in [
+        "[^a]{1,3}|[ab]a{2}a?(a|bc)|0{2}(a|b)",
+        ".[ab]x|q{2}[cd]y{2}z",  # leading-dot, word tier
+    ]:
+        p = Pattern(pat, backend="pallas")
+        assert type(p.engine.device_scanner).__name__ == "WordScanner", pat
+        orc = OracleEngine(p.program.nfa)
+        texts = [b"", b"a", b"ab", b".abx", b"qqcyyz", b"\x00ab"]
+        got = [int(x) for x in p.count_batch(texts)]
+        want = [len(orc.ends(t)) for t in texts]
+        assert got == want, (pat, got, want)
