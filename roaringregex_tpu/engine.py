@@ -342,6 +342,7 @@ class ScanEngine:
                     if (
                         swar is None
                         and cfg.swar
+                        and cfg.swar_multi
                         and accept_map is not None
                         and subprograms
                         and channels_per_record == len(subprograms)

@@ -323,6 +323,108 @@ def _gates_slab_multi(d_all, am, em, bm, spec: SwarMultiSpec):
     ]
 
 
+def _sh(x, d: int):
+    """Signed u32 shift: << d for d > 0, >> -d for d < 0, identity at 0."""
+    return x if d == 0 else (x << d if d > 0 else x >> -d)
+
+
+def compose_cost(diags, steps: int = 8, width: int = 8) -> int:
+    """Static apply-term count of slab-composed stepping for a diagonal
+    set: how many ``shift & mask`` terms the per-step state reconstruction
+    pays across one 8-byte slab. Composed shifts outside (-width, width)
+    have left the state field (8 bits here, S bits for the u32 word tier)
+    — the per-step gate ANDs make their masks structurally zero — so they
+    are pruned statically. The enable heuristic compares this against
+    ``config.swar_compose_terms``."""
+    shifts = {0}
+    total = 0
+    for _ in range(steps):
+        shifts = {
+            s + d
+            for s in shifts
+            for d, _ in diags
+            if -width < s + d < width
+        }
+        total += len(shifts)
+    return total
+
+
+def _diag_gms(gmask, diags, m: int):
+    """Per-step combined gate mask per diagonal: [(d, OR of the group's
+    positioned gate masks, sliced to step m's slab rows), ...]."""
+    out = []
+    for d, pis in diags:
+        gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
+        for pi in pis[1:]:
+            gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
+        out.append((d, gm))
+    return out
+
+
+def _compose_slab(carry, step_maps, injects, zeros, width: int = 8):
+    """Slab-composed stepping for ANY diagonal set (generalizes the
+    round-4 single-diagonal scheme): compose the per-step bit-linear maps
+    OFF the carry chain and reconstruct every per-step state from the
+    slab-entry carry in one shift/AND fan-in, so the cross-slab dependent
+    chain is ~3 ops deep regardless of the diagonal structure.
+
+    ``step_maps``: per step (application order) the canonical
+    ``(shift, mask)`` pairs of that step's map x -> OR_i(sh(x, s_i) & m_i)
+    — forward diagonals are ``(d, gm)`` directly; the mirrored reverse
+    recurrence ``R' = OR_d sh(R & gm, -d)`` canonicalizes to
+    ``(-d, sh(gm, -d))`` by distributing the shift through the AND.
+    ``injects``: per step, a value OR-ed into the state BEFORE the step
+    (seed word / accept join), or None.
+
+    Gate-derived masks satisfy ``sh(ones, s) & m == m`` (a diagonal-d
+    gate only targets bits u >= d for d > 0, u <= 7 + d for d < 0), so
+    the identity term elides its AND. Composed shifts accumulate along
+    paths; |shift| >= 8 leaves the record field and is pruned — the same
+    no-leakage induction as single stepping, applied per composed path.
+    Returns the per-step state values in application order ([-1] is the
+    slab-exit carry)."""
+    C = {0: None}  # composed map: shift -> mask (None = all-ones)
+    E = None  # composed inject image (None = zero)
+    outs = []
+    for pairs, inj in zip(step_maps, injects):
+        if inj is not None:
+            Ein = inj if E is None else E | inj
+        else:
+            Ein = E
+        newC: dict = {}
+        newE = None
+        for d, g in pairs:
+            if Ein is not None:
+                te = _sh(Ein, d) & g
+                newE = te if newE is None else newE | te
+            for s, msk in C.items():
+                ns = s + d
+                if not -width < ns < width:
+                    continue
+                t = g if msk is None else _sh(msk, d) & g
+                pv = newC.get(ns)
+                newC[ns] = t if pv is None else pv | t
+        C, E = newC, newE
+        acc = E
+        for s, msk in sorted(C.items()):
+            t = _sh(carry, s) & msk
+            acc = t if acc is None else acc | t
+        outs.append(acc if acc is not None else zeros)
+    return outs
+
+
+def _compose_on(spec) -> bool:
+    """Shared enable heuristic for slab-composed stepping."""
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    return (
+        cfg.swar_compose
+        and len(spec.diags) > 0
+        and compose_cost(spec.diags) <= cfg.swar_compose_terms
+    )
+
+
 def _swar_multi_kernel(
     len_ref,  # [4 * G8, B] int32 per-byte-lane lengths
     data_ref,  # [T_chunk // 8, 8 * G8, B] uint32 byte slab
@@ -358,14 +460,8 @@ def _swar_multi_kernel(
     # shared liveness spec fields (only has_eos / has_bos are read)
     lm_spec = spec
 
-    from ..utils.config import get_config
-
-    compose = (
-        get_config().swar_compose
-        and len(spec.diags) == 1
-        and 0 < spec.diags[0][0] <= 3  # slab-composed stepping (see
-        # _swar_kernel): one shared diagonal across every slot
-    )
+    compose = _compose_on(spec)  # slab-composed stepping (see
+    # _compose_slab): one shared composition across every slot
 
     def body(i, _):
         slab = data_ref[i]
@@ -376,25 +472,17 @@ def _swar_multi_kernel(
         prev = pf_s[:] if spec.has_eos else None
         logw = jnp.zeros((G8, B), u32)
         if compose:
-            d, pis = spec.diags[0]
-            gms = []
-            for m in range(8):
-                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
-                for pi in pis[1:]:
-                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                gms.append(gm)
-            P = None
-            E = jnp.zeros((G8, B), u32)
-            vs = []
-            for m in range(8):
-                if seeded:
-                    sm = seedw
-                else:
-                    tl = j * T_chunk + i * 8 + m
-                    sm = jnp.where(tl < 2, seedw, u32(0))
-                P = gms[m] if P is None else (P << d) & gms[m]
-                E = ((E | sm) << d) & gms[m]
-                vs.append(((v << ((m + 1) * d)) & P) | E)
+            step_maps = [_diag_gms(gmask, spec.diags, m) for m in range(8)]
+            if seeded:
+                injects = [seedw] * 8
+            else:
+                injects = [
+                    jnp.where(j * T_chunk + i * 8 + m < 2, seedw, u32(0))
+                    for m in range(8)
+                ]
+            vs = _compose_slab(
+                v, step_maps, injects, jnp.zeros((G8, B), u32)
+            )
             v = vs[-1]
         for m in range(8):
             if compose:
@@ -466,22 +554,12 @@ def _swar_kernel(
     ]
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
 
-    # slab-composed stepping: with ONE positive diagonal d and per-step
-    # seeding, the recurrence v' = ((v | s) << d) & g is affine in the
-    # bit domain and composes: v_{m+j} = ((v_m << j*d) & P_j) | E_j with
-    # P_{j+1} = (P_j << d) & g_j  (mask transfer)
-    # E_{j+1} = ((E_j | s) << d) & g_j  (accumulated seeds)
-    # — both mask-only, computed OFF the sequential chain. The whole
-    # 8-byte slab then advances in THREE dependent ops instead of ~40
-    # (composed-mask survival implies a real per-step in-record chain,
-    # by the same u >= d no-leakage induction as single stepping).
-    from ..utils.config import get_config
-
-    compose = (
-        get_config().swar_compose
-        and len(spec.diags) == 1
-        and 0 < spec.diags[0][0] <= 3  # 8*d must fit a u32 shift
-    )
+    # slab-composed stepping (see _compose_slab): the recurrence
+    # v' = OR_d (sh(v | s, d) & g_d) is bit-linear, so the 8 per-step
+    # maps compose OFF the sequential chain into a shift->mask fan
+    # (plus an accumulated-seed image); the whole 8-byte slab then
+    # advances in ~3 dependent ops regardless of the diagonal count.
+    compose = _compose_on(spec)
 
     def body(i, _):
         slab = data_ref[i]
@@ -492,26 +570,17 @@ def _swar_kernel(
         prev = pf_s[:] if spec.has_eos else None
         logw = jnp.zeros((G8, B), u32)
         if compose:
-            d, pis = spec.diags[0]
-            gms = []
-            for m in range(8):
-                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
-                for pi in pis[1:]:
-                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                gms.append(gm)
-            P = None  # P_0 = all-ones: elide the first AND
-            E = jnp.zeros((G8, B), u32)
-            vs = []
-            for m in range(8):
-                if seeded:
-                    sm = seedw
-                else:
-                    tl = j * T_chunk + i * 8 + m
-                    sm = jnp.where(tl < 2, seedw, u32(0))
-                P = gms[m] if P is None else (P << d) & gms[m]
-                E = ((E | sm) << d) & gms[m]
-                sh = v << ((m + 1) * d)
-                vs.append((sh & P) | E)
+            step_maps = [_diag_gms(gmask, spec.diags, m) for m in range(8)]
+            if seeded:
+                injects = [seedw] * 8
+            else:
+                injects = [
+                    jnp.where(j * T_chunk + i * 8 + m < 2, seedw, u32(0))
+                    for m in range(8)
+                ]
+            vs = _compose_slab(
+                v, step_maps, injects, jnp.zeros((G8, B), u32)
+            )
             v = vs[-1]
         for m in range(8):
             if compose:
@@ -589,13 +658,9 @@ def _swar_reverse_kernel(
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
     nS = T_chunk // 8
 
-    from ..utils.config import get_config
-
-    compose = (
-        get_config().swar_compose
-        and len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
-    )  # slab-composed stepping, mirrored: R' = ((R | a) & g) >> d gives
-    # P_{j+1} = (P_j & g_j) >> d, E_{j+1} = ((E_j | a) & g_j) >> d
+    compose = _compose_on(spec)  # slab-composed stepping, mirrored:
+    # R' = OR_d sh(R & g_d, -d) canonicalizes to (-d, sh(g_d, -d)) pairs
+    # by distributing the shift through the AND (see _compose_slab)
 
     def body(i, _):
         iq = nS - 1 - i
@@ -606,21 +671,20 @@ def _swar_reverse_kernel(
         R = r_s[:]
         logw = jnp.zeros((G8, B), u32)
         if compose:
-            d, pis = spec.diags[0]
-            P = None
-            E = jnp.zeros((G8, B), u32)
-            Rs = {}
-            for m in reversed(range(8)):
-                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
-                for pi in pis[1:]:
-                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                P = (gm >> d) if P is None else (P & gm) >> d
-                E = ((E | u32(accm)) & gm) >> d
-                jstep = 8 - m  # steps applied so far
-                Rs[m] = ((R >> (jstep * d)) & P) | E
-            R = Rs[0]
-            for m in reversed(range(8)):
-                hit = Rs[m] & u32(M1)
+            step_maps = [
+                [
+                    (-d, _sh(gm, -d))
+                    for d, gm in _diag_gms(gmask, spec.diags, m)
+                ]
+                for m in reversed(range(8))
+            ]
+            injects = [u32(accm)] * 8
+            Rs = _compose_slab(
+                R, step_maps, injects, jnp.zeros((G8, B), u32)
+            )
+            R = Rs[-1]
+            for idx, m in enumerate(reversed(range(8))):
+                hit = Rs[idx] & u32(M1)
                 logw = logw | (hit << m if m else hit)
         else:
             for m in reversed(range(8)):
@@ -773,13 +837,9 @@ def _swar_anchor_kernel(
     stk = [starts_ref[k * G8 : (k + 1) * G8] for k in range(4)]
     riota = jax.lax.broadcasted_iota(jnp.int32, (8 * G8, B), 0) // G8
 
-    from ..utils.config import get_config
-
-    compose = (
-        get_config().swar_compose
-        and len(spec.diags) == 1 and 0 < spec.diags[0][0] <= 3
-    )  # slab-composed stepping (see _swar_kernel); the per-record start
-    # gates are v-independent, so they fold into the E seed recurrence
+    compose = _compose_on(spec)  # slab-composed stepping (see
+    # _compose_slab); the per-record start gates are v-independent, so
+    # they fold into the accumulated-inject image
 
     def body(i, _):
         slab = data_ref[i]
@@ -800,17 +860,10 @@ def _swar_anchor_kernel(
                 seedm = seedm | (g32 << (8 * k) if k else g32)
             seedms.append(seedm)
         if compose:
-            d, pis = spec.diags[0]
-            P = None
-            E = jnp.zeros((G8, B), u32)
-            vs = []
-            for m in range(8):
-                gm = gmask[pis[0]][m * G8 : (m + 1) * G8]
-                for pi in pis[1:]:
-                    gm = gm | gmask[pi][m * G8 : (m + 1) * G8]
-                P = gm if P is None else (P << d) & gm
-                E = ((E | seedms[m]) << d) & gm
-                vs.append(((v << ((m + 1) * d)) & P) | E)
+            step_maps = [_diag_gms(gmask, spec.diags, m) for m in range(8)]
+            vs = _compose_slab(
+                v, step_maps, seedms, jnp.zeros((G8, B), u32)
+            )
             v = vs[-1]
         for m in range(8):
             if compose:

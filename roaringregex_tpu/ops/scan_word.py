@@ -191,24 +191,27 @@ def _word_kernel(
     lens = len_ref[:]
 
     from ..utils.config import get_config
+    from .scan_swar import _compose_slab, compose_cost
 
+    cfg = get_config()
     compose = (
-        get_config().swar_compose
-        and len(spec.dg) == 1
-        and 0 < spec.dg[0][0] <= 3
+        cfg.swar_compose
+        and len(spec.dg) > 0
+        and compose_cost(spec.dg, width=spec.S) <= cfg.swar_compose_terms
     )
 
     def body(i, _):
         w0 = data_ref[2 * i]
         w1 = data_ref[2 * i + 1]
         v = v_s[:]
-        cPE = [None, jnp.zeros((ROWS, B), u32)]
         prevs = (
             [pf_s[p * ROWS : (p + 1) * ROWS] != 0 for p in range(P)]
             if spec.has_eos
             else [None] * P
         )
         logws = [jnp.zeros((ROWS, B), u32) for _ in range(P)]
+        gates_m = []
+        eosb_m = []
         for m in range(8):
             tg = j * T_chunk + i * 8 + m
             jr = tg - 1
@@ -241,22 +244,43 @@ def _word_kernel(
                     if g is not None
                     else jnp.zeros((ROWS, B), jnp.bool_)
                 )
+            gates_m.append(gates)
+            eosb_m.append(eosb)
+        if compose:
+            # slab-composed stepping (scan_swar._compose_slab, state
+            # field = S bits): per-step effective masks per diagonal,
+            # composed off the carry chain
+            step_maps = []
+            injects = []
+            for m in range(8):
+                tg = j * T_chunk + i * 8 + m
+                pairs = []
+                for dlt, ps in spec.dg:
+                    gm = None
+                    for gid, mask in ps:
+                        t = jnp.where(gates_m[m][gid], u32(mask), u32(0))
+                        gm = t if gm is None else gm | t
+                    pairs.append((dlt, gm))
+                step_maps.append(pairs)
+                injects.append(
+                    u32(1)
+                    if seeded
+                    else jnp.where(tg < 2, u32(1), u32(0))
+                )
+            vs = _compose_slab(
+                v,
+                step_maps,
+                injects,
+                jnp.zeros((ROWS, B), u32),
+                width=spec.S,
+            )
+            v = vs[-1]
+        for m in range(8):
+            tg = j * T_chunk + i * 8 + m
+            gates = gates_m[m]
+            eosb = eosb_m[m]
             if compose:
-                # slab-composed stepping (see scan_swar._swar_kernel):
-                # accumulate the step's effective mask; the state only
-                # advances once per slab through the P/E recurrences
-                dlt = spec.dg[0][0]
-                gm = None
-                for gid, mask in spec.dg[0][1]:
-                    t = jnp.where(gates[gid], u32(mask), u32(0))
-                    gm = t if gm is None else gm | t
-                sm = u32(1) if seeded else jnp.where(tg < 2, u32(1), u32(0))
-                cP = gm if cPE[0] is None else (cPE[0] << dlt) & gm
-                cE = ((cPE[1] | sm) << dlt) & gm
-                cPE[0], cPE[1] = cP, cE
-                v_m = ((v << ((m + 1) * dlt)) & cP) | cE
-                if m == 7:
-                    v = v_m
+                v_m = vs[m]
             else:
                 if seeded:
                     vv = v | u32(1)

@@ -71,12 +71,35 @@ class RrxConfig:
     swar_window_cols: int = field(
         default_factory=lambda: _env_int("RRX_SWAR_WINDOW_COLS", 1024)
     )
-    # slab-composed stepping in the SWAR/word kernels (single-diagonal
-    # specs advance a whole 8-byte slab in ~3 dependent ops);
+    # slab-composed stepping in the SWAR/word kernels (the per-step
+    # bit-linear maps compose across an 8-byte slab OFF the carry chain,
+    # collapsing the per-slab dependent chain to one shift/AND fan-in);
     # RRX_SWAR_COMPOSE=0 restores per-byte stepping for A/B diagnosis
     swar_compose: bool = field(
         default_factory=lambda: os.environ.get("RRX_SWAR_COMPOSE", "1")
         != "0"
+    )
+    # slotted multi-pattern SWAR (4 patterns x 4 records per u32,
+    # ops/scan_swar.SwarMultiScanner). Default OFF: the merged spec's
+    # gate/positioning mask algebra runs ~3.7x slower than the u32 word
+    # tier's per-channel accept bit-logs on the BENCHALL config-6 grep
+    # (4.1 vs 15.2 GB/s, r5 TPU capture) — the per-slab positioned-mask
+    # construction pays sum-of-patterns gate work that the word tier's
+    # int32 byte-plane compares avoid. RRX_SWAR_MULTI=1 re-enables for
+    # A/B diagnosis
+    swar_multi: bool = field(
+        default_factory=lambda: os.environ.get("RRX_SWAR_MULTI", "0")
+        == "1"
+    )
+    # multi-diagonal composition budget: compose only when the static
+    # apply-term count across the slab (scan_swar.compose_cost) stays
+    # under this bound. Measured (r5 TPU A/B): cost 11 (cat|dog) +1.3%,
+    # cost 43 ([a-z]+\.log$) +1.6%, cost 92 ((ab)*c+d?) -15% — Mosaic
+    # already pipelines the per-byte chain across slabs, so past ~48
+    # terms the off-chain mask algebra costs more VPU throughput than
+    # the chain latency it removes
+    swar_compose_terms: int = field(
+        default_factory=lambda: _env_int("RRX_SWAR_COMPOSE_TERMS", 48)
     )
     # banded follow matrices (bounded-repetition chains): apply F^T as
     # <= this many diagonal shift+multiply VPU ops instead of the dense
