@@ -1383,73 +1383,110 @@ class SwarScanner(PallasScanner):
     def _swar_greedy_call(
         self, data, lengths, cap, T, T_pad, B_pad, B_blk, T_chunk
     ):
+        """Greedy rounds in the SWAR k-major plane layout END TO END:
+        candidate starts come straight from the reverse bit-log via a
+        first-set-bit-at-or-after-pos word reduction on [4*G8, B] int32
+        planes, round bookkeeping is broadcast selects on those planes,
+        and the span buffers update by one-hot masking over the cap
+        axis. The first cut materialized a record-major [R, T] start
+        bitmap per call (a minor-axis-4 transpose — the ~30x XLA
+        lowering trap this module's header documents — plus per-round
+        scatters and [R, T] argmaxes) and measured 240x slower than the
+        lazy kernel on the device loop; this layout-pure form is
+        reverse + ~(1 + max-matches-per-record) anchored passes."""
         R_pad = B_pad * RECS
         if lengths.shape[0] != R_pad:
             lengths = jnp.pad(lengths, (0, R_pad - lengths.shape[0]))
         tm = _swar_pack(data, T_pad, B_pad)
-        lnT = _len_planes(lengths, B_pad)
+        lnT = _len_planes(lengths, B_pad)  # [4 * G8, B] int32 planes
         hlog = self._swar_reverse_pl(tm, lnT, T_pad, B_pad, B_blk, T_chunk)
-        # candidate-start bitmap [R_pad, L + 1]
         nTw = hlog.shape[0]
-        ks = []
-        for k in range(4):
-            fk = (hlog >> (8 * k)) & jnp.uint32(0xFF)
-            bits = (fk[..., None] >> jnp.arange(8, dtype=jnp.uint32)) & 1
-            ks.append(bits.transpose(0, 3, 1, 2).reshape(nTw * 8, G8, B_pad))
-        h = jnp.stack(ks, axis=0)  # [4, T_pad, G8, B_pad]
-        h2 = (
-            h.transpose(2, 3, 0, 1).reshape(R_pad, nTw * 8)[:, :T] > 0
-        )
-        L1 = (T - 2) + 1
-        sbm = jnp.zeros((R_pad, L1), bool)
-        s_of_col = jnp.minimum(jnp.maximum(jnp.arange(T) - 1, 0), L1 - 1)
-        sbm = sbm.at[jnp.arange(R_pad)[:, None], s_of_col[None, :]].max(h2)
-        cols = jnp.arange(L1)[None, :]
-        neg = jnp.full((R_pad, cap + 1), -1, jnp.int32)
+        u32 = jnp.uint32
+        w8 = (jnp.arange(nTw, dtype=jnp.int32) * 8)[:, None, None]
+        pc = jax.lax.population_count
+        # per-lane hit bytes [nTw, G8, B], extracted once; rounds re-mask
+        fks = [(hlog >> (8 * k)) & u32(0xFF) for k in range(4)]
+
+        def first_start(posP):
+            """Per record (plane layout): the first candidate start
+            s = max(t - 1, 0) with s >= pos and s <= len, from the first
+            reverse-hit step t >= thr (thr = pos + 1 for pos > 0, else
+            0 — steps 0 and 1 both map to start 0); BIG when none."""
+            outs = []
+            for k in range(4):
+                sl = slice(k * G8, (k + 1) * G8)
+                posk = posP[sl]
+                thr = jnp.where(posk > 0, posk + 1, 0)  # [G8, B]
+                rel = jnp.clip(thr[None] - w8, 0, 8)  # [nTw, G8, B]
+                keep = fks[k] & jnp.where(
+                    rel >= 8, u32(0), u32(0xFF) << rel.astype(u32)
+                )
+                nz = keep != 0
+                ctz = pc((keep & (~keep + u32(1))) - u32(1))
+                t = jnp.where(nz, w8 + ctz.astype(jnp.int32), BIG).min(
+                    axis=0
+                )
+                s0 = jnp.maximum(t - 1, 0)
+                outs.append(
+                    jnp.where((t < BIG) & (s0 <= lnT[sl]), s0, BIG)
+                )
+            return jnp.concatenate(outs, axis=0)  # [4 * G8, B]
+
+        neg3 = jnp.full((cap, 4 * G8, B_pad), -1, jnp.int32)
+        kio = jnp.arange(cap, dtype=jnp.int32)[:, None, None]
 
         def cond(st):
-            k, pos, active, _, _, ki = st
-            return jnp.any(active) & (k < cap)
+            k, posP, activeP, _, _, kiP = st
+            return jnp.any(activeP) & (k < cap)
 
         def body(st):
-            k, pos, active, sbuf, ebuf, ki = st
-            m = sbm & (cols >= pos[:, None]) & (cols <= lengths[:, None])
-            m = m & active[:, None]
-            has = m.any(axis=1)
-            s = jnp.where(has, jnp.argmax(m, axis=1), -1).astype(jnp.int32)
-            active = active & has
-            stT = _len_planes(s, B_pad)
+            k, posP, activeP, sbuf, ebuf, kiP = st
+            sP = first_start(posP)
+            activeP = activeP & (sP < BIG)
+            sP = jnp.where(activeP, sP, -1)
             log = self._swar_anchor_pl(
-                tm, lnT, stT, T_pad, B_pad, B_blk, T_chunk
+                tm, lnT, sP, T_pad, B_pad, B_blk, T_chunk
             )
             eP = _anchor_ends(log, lengths, longest=True)
-            e = (
-                eP.reshape(4, G8, B_pad).transpose(1, 2, 0).reshape(-1)
-            )
-            emit = active & (e >= s)
-            kk = jnp.where(emit, ki, cap)
-            bb = jnp.arange(R_pad)
-            sbuf = sbuf.at[bb, kk].set(jnp.where(emit, s, -1))
-            ebuf = ebuf.at[bb, kk].set(jnp.where(emit, e, -1))
-            pos = jnp.where(emit, jnp.maximum(e, s + 1), pos)
-            ki = ki + emit.astype(jnp.int32)
-            active = active & emit & (pos <= lengths)
-            return k + 1, pos, active, sbuf, ebuf, ki
+            emitP = activeP & (eP >= sP)
+            onehot = (kio == kiP[None]) & emitP[None]
+            sbuf = jnp.where(onehot, sP[None], sbuf)
+            ebuf = jnp.where(onehot, eP[None], ebuf)
+            posP = jnp.where(emitP, jnp.maximum(eP, sP + 1), posP)
+            kiP = kiP + emitP.astype(jnp.int32)
+            activeP = emitP & (posP <= lnT)
+            return k + 1, posP, activeP, sbuf, ebuf, kiP
 
         st = jax.lax.while_loop(
             cond,
             body,
             (
                 jnp.asarray(0, jnp.int32),
-                jnp.zeros(R_pad, jnp.int32),
-                jnp.ones(R_pad, bool),
-                neg,
-                neg,
-                jnp.zeros(R_pad, jnp.int32),
+                jnp.zeros((4 * G8, B_pad), jnp.int32),
+                jnp.ones((4 * G8, B_pad), bool),
+                neg3,
+                neg3,
+                jnp.zeros((4 * G8, B_pad), jnp.int32),
             ),
         )
-        _, _, active, sbuf, ebuf, ki = st
-        return sbuf[:, :cap], ebuf[:, :cap], ki, active
+        _, _, activeP, sbuf, ebuf, kiP = st
+        # one tiny re-layout to external record order at the very end
+        # (fusion-cut like _swar_stats so it can't poison the loop)
+        activeP, sbuf, ebuf, kiP = jax.lax.optimization_barrier(
+            (activeP, sbuf, ebuf, kiP)
+        )
+
+        def ext1(x):  # [4 * G8, B] (k-major) -> [R_pad] external
+            return x.reshape(4, G8, B_pad).transpose(1, 2, 0).reshape(-1)
+
+        def ext2(x):  # [cap, 4 * G8, B] -> [R_pad, cap] external
+            return (
+                x.reshape(cap, 4, G8, B_pad)
+                .transpose(2, 3, 1, 0)
+                .reshape(R_pad, cap)
+            )
+
+        return ext2(sbuf), ext2(ebuf), ext1(kiP), ext1(activeP)
 
     def _run_swar_multi(
         self, tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk, mspec
