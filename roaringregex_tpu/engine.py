@@ -673,13 +673,26 @@ class ScanEngine:
         exact result for a record the superset scan rejects). ``extra``
         = ((per-record array, gather fill), ...) forwarded to raw_fn.
         Falls through to the raw call when no prefilter applies or the
-        batch is too small to compact."""
+        batch is too small to compact.
+
+        TWO static bucket sizes (~B/16 and ~B/4, each >= 128 rows and
+        picked at runtime by candidate count under nested lax.cond) so
+        the filter's leverage scales with hit density: a single B/4
+        bucket caps the speedup at 4x the raw kernels no matter how
+        sparse the hits (the r5 density sweep measured exactly that
+        flat ceiling); the small bucket lifts <= ~6% densities to ~16x.
+        Each bucket compiles its own raw_fn geometry — one extra sparse
+        Mosaic compile, recorded in the config-10 first_compile_s."""
         data = jnp.asarray(data)
         lengths = jnp.asarray(lengths)
         ex_arrays = tuple(jnp.asarray(a) for (a, _f) in extra)
         B = data.shape[0]
-        bcap = min(B, max(128, -(-(B // 4) // 128) * 128))
-        if bcap >= B:  # static: nothing to gain, skip the filter scan
+        buckets = []
+        for div in (16, 4):
+            b = min(B, max(128, -(-(B // div) // 128) * 128))
+            if b < B and b not in buckets:
+                buckets.append(b)
+        if not buckets:  # static: nothing to gain, skip the filter scan
             return raw_fn(data, lengths, *ex_arrays)
         _, _, pre_any = self._alias_call(
             self._prefilter_eng, "match_stats", data, lengths, seeded=True
@@ -687,32 +700,40 @@ class ScanEngine:
         pre_any = pre_any.reshape(-1)[:B]
         nhits = jnp.sum(pre_any.astype(jnp.int32))
 
-        def compacted(_):
-            (idx,) = jnp.nonzero(pre_any, size=bcap, fill_value=0)
-            valid = jnp.arange(bcap) < nhits
-            d2 = jnp.take(data, idx, axis=0)
-            l2 = jnp.where(valid, jnp.take(lengths, idx), 0)
-            ex2 = tuple(
-                jnp.where(
-                    valid, jnp.take(a, idx), jnp.asarray(f, a.dtype)
+        def compact_at(bcap):
+            def compacted(_):
+                (idx,) = jnp.nonzero(pre_any, size=bcap, fill_value=0)
+                valid = jnp.arange(bcap) < nhits
+                d2 = jnp.take(data, idx, axis=0)
+                l2 = jnp.where(valid, jnp.take(lengths, idx), 0)
+                ex2 = tuple(
+                    jnp.where(
+                        valid, jnp.take(a, idx), jnp.asarray(f, a.dtype)
+                    )
+                    for a, (_a, f) in zip(ex_arrays, extra)
                 )
-                for a, (_a, f) in zip(ex_arrays, extra)
-            )
-            outs = raw_fn(d2, l2, *ex2)
-            single = not isinstance(outs, tuple)
-            outs_t = (outs,) if single else outs
-            # drop invalid compaction slots (they all alias record 0)
-            safe = jnp.where(valid, idx, B)
-            res = []
-            for o, f in zip(outs_t, fills):
-                base = jnp.full((B,) + o.shape[1:], f, o.dtype)
-                res.append(base.at[safe].set(o, mode="drop"))
-            return res[0] if single else tuple(res)
+                outs = raw_fn(d2, l2, *ex2)
+                single = not isinstance(outs, tuple)
+                outs_t = (outs,) if single else outs
+                # drop invalid compaction slots (they all alias record 0)
+                safe = jnp.where(valid, idx, B)
+                res = []
+                for o, f in zip(outs_t, fills):
+                    base = jnp.full((B,) + o.shape[1:], f, o.dtype)
+                    res.append(base.at[safe].set(o, mode="drop"))
+                return res[0] if single else tuple(res)
+
+            return compacted
 
         def full(_):
             return raw_fn(data, lengths, *ex_arrays)
 
-        return jax.lax.cond(nhits <= bcap, compacted, full, None)
+        nxt = full
+        for b in sorted(buckets, reverse=True):
+            def nxt(_, b=b, inner=nxt):
+                return jax.lax.cond(nhits <= b, compact_at(b), inner, None)
+
+        return nxt(None)
 
     def _use_prefilter(self, data) -> bool:
         return (

@@ -4158,6 +4158,82 @@ def _count_match_kernel(
             (lens == 0).astype(jnp.int32) if nullable else jnp.zeros_like(lens)
         )
 
+    from ..utils.config import get_config
+
+    # slab-composed run-length stepping (k == 1): the recurrence
+    # r' = occ ? min(r + 1, cap) : 0 telescopes across an 8-byte slab —
+    # r_m = min(all-prefix_m ? r_in + m + 1 : trailing-run_m, cap) with
+    # both scans computed OFF the carry chain — and the stats
+    # accumulators reduce per slab (running-last select chain, min/max/or
+    # trees). Measured SLOWER than per-byte stepping on TPU (config 4:
+    # 49.1 -> 32.5 GB/s): Mosaic already software-pipelines the per-byte
+    # chain across loop iterations, and the slab form's extra within-slab
+    # scans cost more issue slots than the chain links they remove. Kept
+    # behind RRX_COUNT_SLAB=1 as the measured A/B (see config.count_slab).
+    slab8 = k == 1 and T_chunk % 8 == 0 and get_config().count_slab
+
+    def body8(i, _):
+        d8 = data_ref[pl.ds(i * 8, 8)].astype(jnp.int32)  # [8, GC, B]
+        base = j * T_chunk + i * 8
+        rc = rb_s[:]
+        occs = []
+        for m in range(8):
+            tg = base + m
+            valid = (tg >= 1) & (tg <= lens)
+            occs.append(_in_class(d8[m], body_runs[0][0]) & valid)
+        fls = []
+        es = []
+        a = None  # all-prefix of occ
+        tr = None  # within-slab trailing run
+        pe = None  # prefix of occ-or-dead (unseeded anchored run)
+        apc = (ab_s[:] > 0) if not seeded else None
+        for m in range(8):
+            tg = base + m
+            a = occs[m] if a is None else (a & occs[m])
+            tr = jnp.where(
+                occs[m],
+                (tr + 1) if tr is not None else jnp.ones_like(lens),
+                0,
+            )
+            rm = jnp.minimum(jnp.where(a, rc + (m + 1), tr), cap)
+            if seeded:
+                fl = rm >= mm
+            else:
+                oe = occs[m] | (tg < 1) | (tg > lens)
+                pe = oe if pe is None else (pe & oe)
+                fl = apc & pe & (tg >= mm) & (tg <= lens)
+                if n:
+                    fl = fl & (tg <= n)
+            if lead:
+                fl = fl & (tg > lead)
+            fls.append(fl)
+            es.append(jnp.minimum(tg, lens))
+        rb_s[:] = jnp.minimum(jnp.where(a, rc + 8, tr), cap)
+        if not seeded:
+            ab_s[:] = (apc & pe).astype(jnp.int32)
+        if not (nullable and seeded):
+            Lrun = last_s[:]
+            newsum = None
+            for m in range(8):
+                new = (fls[m] & (es[m] != Lrun)).astype(jnp.int32)
+                newsum = new if newsum is None else newsum + new
+                Lrun = jnp.where(fls[m], es[m], Lrun)
+            cnt_s[:] = cnt_s[:] + newsum
+        fe = le = fullm = None
+        for m in range(8):
+            fe_m = jnp.where(fls[m], es[m], 1 << 30)
+            fe = fe_m if fe is None else jnp.minimum(fe, fe_m)
+            le_m = jnp.where(fls[m], es[m], -1)
+            le = le_m if le is None else jnp.maximum(le, le_m)
+            fm = fls[m] & (base + m >= lens)
+            fullm = fm if fullm is None else (fullm | fm)
+        first_s[:] = jnp.where(
+            (first_s[:] < 0) & (fe < (1 << 30)), fe, first_s[:]
+        )
+        last_s[:] = jnp.where(le >= 0, le, last_s[:])
+        full_s[:] = full_s[:] | fullm.astype(jnp.int32)
+        return 0
+
     def body(i, _):
         d = data_ref[i].astype(jnp.int32)  # [GC, B]
         tg = j * T_chunk + i
@@ -4182,7 +4258,10 @@ def _count_match_kernel(
         full_s[:] = full_s[:] | (fl & (tg >= lens)).astype(jnp.int32)
         return 0
 
-    jax.lax.fori_loop(0, T_chunk, body, 0)
+    if slab8:
+        jax.lax.fori_loop(0, T_chunk // 8, body8, 0)
+    else:
+        jax.lax.fori_loop(0, T_chunk, body, 0)
 
     @pl.when(j == nT - 1)
     def _out():
@@ -4220,6 +4299,44 @@ def _count_flags_kernel(
         ab_s[:] = jnp.ones(ab_s.shape, ab_s.dtype)
         pb_s[:] = jnp.zeros(pb_s.shape, pb_s.dtype)
 
+    from ..utils.config import get_config
+
+    # slab-composed run-length stepping for k == 1 (see
+    # _count_match_kernel): within-slab prefix/trailing-run scans off
+    # the carry chain, one carry update per 8 bytes
+    slab8 = k == 1 and T_chunk % 8 == 0 and get_config().count_slab
+
+    def body8(i, _):
+        d8 = data_ref[pl.ds(i * 8, 8)].astype(jnp.int32)
+        base = j * T_chunk + i * 8
+        rc = rb_s[:]
+        fls = []
+        a = tr = pe = None
+        apc = (ab_s[:] > 0) if not seeded else None
+        for m in range(8):
+            tg = base + m
+            valid = (tg >= 1) & (tg <= lens)
+            occ = _in_class(d8[m], body_runs[0][0]) & valid
+            a = occ if a is None else (a & occ)
+            tr = jnp.where(
+                occ, (tr + 1) if tr is not None else jnp.ones_like(lens), 0
+            )
+            rm = jnp.minimum(jnp.where(a, rc + (m + 1), tr), cap)
+            if seeded:
+                fl = rm >= mm
+            else:
+                oe = occ | (tg < 1) | (tg > lens)
+                pe = oe if pe is None else (pe & oe)
+                fl = apc & pe & (tg >= mm) & (tg <= lens)
+                if n:
+                    fl = fl & (tg <= n)
+            fls.append(fl.astype(jnp.int8))
+        rb_s[:] = jnp.minimum(jnp.where(a, rc + 8, tr), cap)
+        if not seeded:
+            ab_s[:] = (apc & pe).astype(jnp.int32)
+        flags_out[pl.ds(i * 8, 8)] = jnp.stack(fls)
+        return 0
+
     def body(i, _):
         d = data_ref[i].astype(jnp.int32)
         tg = j * T_chunk + i
@@ -4236,7 +4353,10 @@ def _count_flags_kernel(
         flags_out[i] = fl.astype(jnp.int8)
         return 0
 
-    jax.lax.fori_loop(0, T_chunk, body, 0)
+    if slab8:
+        jax.lax.fori_loop(0, T_chunk // 8, body8, 0)
+    else:
+        jax.lax.fori_loop(0, T_chunk, body, 0)
 
 
 def _count_reverse_kernel(

@@ -91,6 +91,18 @@ class RrxConfig:
         default_factory=lambda: os.environ.get("RRX_SWAR_MULTI", "0")
         == "1"
     )
+    # slab-composed run-length stepping in the counting-tier kernels
+    # (8-byte slabs with within-slab prefix/trailing-run scans). Default
+    # OFF: the TPU A/B measured 49.1 -> 32.5 GB/s on config 4 — the
+    # per-byte int32 chain is already software-pipelined across
+    # iterations by Mosaic, and the slab form's extra within-slab scans
+    # cost more issue slots than the chain links they remove (same
+    # verdict as the SWAR compose budget below). RRX_COUNT_SLAB=1
+    # re-enables for A/B diagnosis
+    count_slab: bool = field(
+        default_factory=lambda: os.environ.get("RRX_COUNT_SLAB", "0")
+        == "1"
+    )
     # multi-diagonal composition budget: compose only when the static
     # apply-term count across the slab (scan_swar.compose_cost) stays
     # under this bound. Measured (r5 TPU A/B): cost 11 (cat|dog) +1.3%,
