@@ -138,23 +138,47 @@ class DistScanner:
                 # run-length tier: X{m,n} scans with no follow matmul
                 self._plk = spl.CountScanner(prog, plan, nullable=nullable)
             elif self.dense:
-                swar_multi = None
+                swar_k = None
                 if accept_map is not None and subprograms:
-                    from ..ops import scan_swar as ssw
                     from ..utils.config import get_config
 
+                    cfg = get_config()
                     if (
-                        get_config().swar
+                        cfg.swar
+                        and cfg.swar_multi
                         and channels_per_record == len(subprograms)
                     ):
+                        from ..ops import scan_swar as ssw
+
                         ms = ssw.swar_multi_spec(subprograms)
                         if ms is not None:
                             # slotted multi-pattern SWAR on the mesh
-                            swar_multi = ssw.SwarMultiScanner(
+                            # (opt-in, see config.swar_multi)
+                            swar_k = ssw.SwarMultiScanner(
                                 prog, tables, ms, channels_per_record,
                                 nullable=nullable,
                             )
-                self._plk = swar_multi or spl.PallasScanner(
+                    if swar_k is None and cfg.swar:
+                        from ..ops import scan_word as ssw32
+
+                        if (
+                            ssw32.word_spec(
+                                prog,
+                                accept_map=accept_map,
+                                P=channels_per_record,
+                            )
+                            is not None
+                        ):
+                            # u32 word tier: the measured-fastest combined
+                            # multi-pattern scan (see config.swar_multi)
+                            swar_k = ssw32.WordScanner(
+                                prog,
+                                tables,
+                                accept_map=accept_map,
+                                P=channels_per_record,
+                                nullable=nullable,
+                            )
+                self._plk = swar_k or spl.PallasScanner(
                     prog, tables, nullable=nullable
                 )
         # replicate tables on every chip (broadcast once, like the

@@ -105,29 +105,38 @@ def test_multipattern_swar_slotted():
     from roaringregex_tpu.oracle.engine import OracleEngine
     from roaringregex_tpu.ops.scan_swar import SwarMultiScanner
 
+    from roaringregex_tpu.utils.config import get_config, set_config
+
     pats = ["cat|dog", "[0-9]{3}", "err(or)?", "ab(cd)*e"]
-    mp = MultiPattern(pats, backend="pallas")
-    assert isinstance(mp.engine.device_scanner, SwarMultiScanner)
-    rng = np.random.default_rng(5)
-    texts = ["the cat had 4215 errors", "abcdcde or err", "", "dog" * 40]
-    for _ in range(8):
-        ln = int(rng.integers(0, 180))
-        texts.append(
-            "".join(rng.choice(list("catdoger0123 abcde"), size=ln))
-        )
-    cnt = mp.count_batch(texts)
-    for p_i, pat in enumerate(pats):
-        orc = OracleEngine(build_nfa(pat))
-        for t_i, t in enumerate(texts):
-            assert int(cnt[t_i, p_i]) == len(orc.ends(t)), (pat, t_i)
-    # fewer than 4 slots + nullable + $-anchor channels
-    mp2 = MultiPattern(["a*", "x$"], backend="pallas")
-    assert isinstance(mp2.engine.device_scanner, SwarMultiScanner)
-    c2 = mp2.count_batch(["aaax", "x", "", "bxb"])
-    for p_i, pat in enumerate(["a*", "x$"]):
-        orc = OracleEngine(build_nfa(pat))
-        for t_i, t in enumerate(["aaax", "x", "", "bxb"]):
-            assert int(c2[t_i, p_i]) == len(orc.ends(t)), (pat, t)
+    base = get_config()
+    # slotted SWAR defaults off (the word tier measured faster on TPU,
+    # see config.swar_multi); exactness stays covered behind the flag
+    set_config(base.with_(swar_multi=True))
+    try:
+        mp = MultiPattern(pats, backend="pallas")
+        assert isinstance(mp.engine.device_scanner, SwarMultiScanner)
+        rng = np.random.default_rng(5)
+        texts = ["the cat had 4215 errors", "abcdcde or err", "", "dog" * 40]
+        for _ in range(8):
+            ln = int(rng.integers(0, 180))
+            texts.append(
+                "".join(rng.choice(list("catdoger0123 abcde"), size=ln))
+            )
+        cnt = mp.count_batch(texts)
+        for p_i, pat in enumerate(pats):
+            orc = OracleEngine(build_nfa(pat))
+            for t_i, t in enumerate(texts):
+                assert int(cnt[t_i, p_i]) == len(orc.ends(t)), (pat, t_i)
+        # fewer than 4 slots + nullable + $-anchor channels
+        mp2 = MultiPattern(["a*", "x$"], backend="pallas")
+        assert isinstance(mp2.engine.device_scanner, SwarMultiScanner)
+        c2 = mp2.count_batch(["aaax", "x", "", "bxb"])
+        for p_i, pat in enumerate(["a*", "x$"]):
+            orc = OracleEngine(build_nfa(pat))
+            for t_i, t in enumerate(["aaax", "x", "", "bxb"]):
+                assert int(c2[t_i, p_i]) == len(orc.ends(t)), (pat, t)
+    finally:
+        set_config(base)
 
 
 def test_multipattern_swar_vs_word_ab():
@@ -140,9 +149,13 @@ def test_multipattern_swar_vs_word_ab():
 
     pats = ["cat|dog", "ab(cd)*e"]
     texts = ["catabcde", "abcdcdcde dog", "", "xyz" * 30]
-    mp1 = MultiPattern(pats, backend="pallas")
-    c1 = np.asarray(mp1.count_batch(texts))
     base = get_config()
+    set_config(base.with_(swar_multi=True))
+    try:
+        mp1 = MultiPattern(pats, backend="pallas")
+        c1 = np.asarray(mp1.count_batch(texts))
+    finally:
+        set_config(base)
     set_config(base.with_(swar=False))
     try:
         mp0 = MultiPattern(pats, backend="pallas")
