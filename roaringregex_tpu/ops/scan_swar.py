@@ -1080,14 +1080,15 @@ class SwarScanner(PallasScanner):
         return (k, w, h) if k >= 2 else None
 
     def match_stats_b(self, data, len_g, *, seeded: bool, lead: int = 0):
-        if lead:  # engine-driven windowed mode: inherit the matmul path
+        if lead and self.nullable:
+            # windowed-nullable count corrections live on the matmul path
             return super().match_stats_b(data, len_g, seeded=seeded, lead=lead)
         data = jnp.asarray(data)
         B_rows0, G = len_g.shape
         B = B_rows0 * G
         L = data.shape[1]
         lengths = jnp.asarray(len_g).reshape(-1).astype(jnp.int32)
-        win = self._swar_window(L, B, seeded)
+        win = self._swar_window(L, B, seeded) if not lead else None
         if win is not None:
             k, w, h = win
             T, T_pad, B_pad, B_blk, T_chunk = self._geom_swar(
@@ -1101,7 +1102,8 @@ class SwarScanner(PallasScanner):
                 L, -(-B // RECS)
             )
             cnt, first, last, full = self._swar_call(
-                data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk
+                data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk,
+                lead=lead,
             )
         sl = lambda x: x[:B].reshape(B_rows0, G)
         cnt = sl(cnt)
@@ -1561,10 +1563,13 @@ class SwarScanner(PallasScanner):
     @functools.partial(
         jax.jit,
         static_argnames=(
-            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk",
+            "self", "seeded", "T_pad", "B_pad", "B_blk", "T_chunk", "lead",
         ),
     )
-    def _swar_call(self, data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk):
+    def _swar_call(
+        self, data, lengths, seeded, T_pad, B_pad, B_blk, T_chunk,
+        lead: int = 0,
+    ):
         R_pad = B_pad * RECS
         if lengths.shape[0] != R_pad:
             lengths = jnp.pad(lengths, (0, R_pad - lengths.shape[0]))
@@ -1572,7 +1577,7 @@ class SwarScanner(PallasScanner):
         lnT = _len_planes(lengths, B_pad)
         log = self._run_swar(tm, lnT, seeded, T_pad, B_pad, B_blk, T_chunk)
         cnt, first, last, full, _ = _swar_stats(
-            log, lengths, nullable=self.nullable, seeded=seeded
+            log, lengths, nullable=self.nullable, seeded=seeded, lead=lead
         )
         return cnt, first, last, full
 
