@@ -463,6 +463,32 @@ class FastLongScanner:
             return jnp.any(anym)
         return jnp.sum(cnt.astype(jnp.int32))
 
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _swar_ov_first(self, data, *, n: int):
+        """(any, global first end) through the SWAR window path — the
+        only core facts the `.*X.*` trailing-epilogue needs on pure-ASCII
+        text (DotStarLongScanner._count_trail_impl)."""
+        from .scan_swar import BIG
+
+        o = self.overlap
+        block = self._swar_ov_block(n)
+        nw = max(1, -(-n // block))
+        ds = jnp.zeros(o + nw * block, jnp.uint8).at[o : o + n].set(data)
+        main = ds[o:].reshape(nw, block)
+        head = ds[: nw * block].reshape(nw, block)[:, :o]
+        wdata = jnp.concatenate([head, main], axis=1)
+        lens = jnp.clip(
+            n - jnp.arange(nw, dtype=jnp.int32) * block + o, 0, block + o
+        )
+        cnt, first, _last, _full, _anym = self._swov.match_stats_b(
+            wdata, lens.reshape(-1, 1), seeded=True, lead=o
+        )
+        first = first.reshape(-1)[:nw]
+        cnt = cnt.reshape(-1)[:nw]
+        off = jnp.arange(nw, dtype=jnp.int32) * block - o
+        fg = jnp.where(first >= 0, first + off, BIG)
+        return jnp.any(cnt > 0), jnp.min(fg)
+
     # -- overlapped fast path (bounded-horizon patterns, seeded) ----------
     @functools.partial(jax.jit, static_argnames=("self", "n", "mode"))
     def _ov_impl(self, data, *, n: int, mode: str):
@@ -1290,6 +1316,40 @@ class DotStarLongScanner:
             None,
         )
 
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _count_trail_impl(self, data, *, n: int):
+        """Trailing-``.*`` count with a DEVICE-RESIDENT dead-byte
+        verdict: on pure-ASCII text (the common case) every e >= the
+        global FIRST core end is a P end, and that first is exactly the
+        SWAR window stats' `first` reduction — no flag stream at all.
+        Text containing dead (>= 0x80) bytes keeps the segmented
+        running-OR over the flag stream; lax.cond selects on device so
+        back-to-back scans pipeline with no per-call host sync (the
+        speculative-window verdict pattern)."""
+        dead = data[:n] >= 0x80
+
+        def fast(_):
+            anyg, firstg = self.inner._swar_ov_first(data, n=n)
+            return jnp.where(
+                anyg, n + 1 - firstg.astype(jnp.int32), 0
+            )
+
+        def slow(_):
+            flags = self.inner._ov_impl(data, n=n, mode="flags")
+            f = flags[: n + 2] > 0
+            ends = f[: n + 1].at[n].set(f[n] | f[n + 1])
+            e_idx = jnp.arange(n + 1, dtype=jnp.int32)
+            last_end = jax.lax.cummax(jnp.where(ends, e_idx, -1))
+            dd = jnp.where(dead, jnp.arange(1, n + 1, dtype=jnp.int32), 0)
+            D = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jax.lax.cummax(dd)]
+            )
+            return jnp.sum(
+                ((last_end >= 0) & (last_end >= D)).astype(jnp.int32)
+            )
+
+        return jax.lax.cond(jnp.any(dead), slow, fast, None)
+
     def _run(self, text, seeded: bool, mode: str):
         """FastLongScanner._run duck type (bench pipelining): un-synced
         device values for seeded count/any; everything else generic."""
@@ -1300,6 +1360,19 @@ class DotStarLongScanner:
                 # / counting / speculative), no flag stream needed
                 return self.inner._run(text, seeded, mode)
             data, n = self._data(text)
+            if mode == "any":
+                # a trailing .* can be empty: any core end IS a P end, so
+                # the inner scanner's any path (SWAR windows where they
+                # apply) answers directly
+                if hasattr(self.inner, "_run"):
+                    return self.inner._run(text, seeded, "any")
+            elif (
+                n > 0
+                and isinstance(self.inner, FastLongScanner)
+                and self.inner.overlap is not None
+                and self.inner._swar_ov_scanner() is not None
+            ):
+                return self._count_trail_impl(data, n=n)
             return self._ends_post(data, n=n, mode=mode)
         return self._fallback()._run(text, seeded, mode)
 
